@@ -1,0 +1,80 @@
+"""End-to-end throughput benchmark: 256x192 crops -> SMPL vertices.
+
+Runs the flagship TokenHMR forward (ViT-H + token head + frozen PoseVQ
+decode + SMPL LBS + projection) as one jitted program on the available
+accelerator and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "crops/sec/chip", "vs_baseline": N}
+
+Baseline: BASELINE.json north-star = 2000 crops/sec/chip on TPU v5e.
+The input is uint8 pixels; normalization happens on-device inside the jit
+(part of the measured path, as the metric demands pixels->vertices).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# persistent compilation cache: ViT-H compiles are expensive (especially via
+# remote-compile tunnels); cache them across bench invocations
+os.makedirs("/root/.cache/jax_comp", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+BASELINE_CROPS_PER_SEC = 2000.0
+MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def main():
+    import __graft_entry__ as G
+    from tokenhmr_tpu.models.tokenhmr import forward_step
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "128"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+
+    cfg, frozen, smpl_model, params, _ = G._flagship(batch_size=batch_size)
+
+    mean = jnp.asarray(MEAN)
+    std = jnp.asarray(STD)
+
+    @jax.jit
+    def pixels_to_vertices(params, crops_u8):
+        x = crops_u8.astype(jnp.float32) / 255.0
+        x = (x - mean) / std
+        out = forward_step(params, frozen, cfg, smpl_model, x)
+        return out["pred_vertices"], out["pred_cam_t"]
+
+    rng = np.random.RandomState(0)
+    crops = jnp.asarray(
+        rng.randint(0, 255, (batch_size, 256, 192, 3), dtype=np.uint8)
+    )
+
+    # warmup/compile
+    for _ in range(warmup):
+        v, c = pixels_to_vertices(params, crops)
+    jax.block_until_ready(v)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        v, c = pixels_to_vertices(params, crops)
+    jax.block_until_ready(v)
+    dt = time.perf_counter() - t0
+
+    crops_per_sec = batch_size * iters / dt
+    print(json.dumps({
+        "metric": "e2e_crops_per_sec_per_chip",
+        "value": round(crops_per_sec, 2),
+        "unit": "256x192 crops/sec/chip (pixels->SMPL vertices)",
+        "vs_baseline": round(crops_per_sec / BASELINE_CROPS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

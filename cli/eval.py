@@ -1,0 +1,149 @@
+"""Benchmark evaluation CLI (3DPW / EMDB / H36M).
+
+Capabilities of ref `tokenhmr/eval.py`: per-dataset eval loop, Evaluator
+accumulation (MPJPE / PA-MPJPE / PVE), CSV result appending.
+
+Usage:
+  python -m cli.eval --dataset 3DPW-TEST --dataset-dir /data \
+      --checkpoint ckpt_dir [--synthetic-weights] [--batch-size 64]
+
+With --synthetic-weights the model runs with random weights (pipeline
+smoke-testing without the registration-gated released checkpoints).
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+import time
+from datetime import datetime
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def save_eval_result(csv_path, metric_dict, checkpoint_path, dataset_name,
+                     error=None, iters_done=None, exp_name=None):
+    """CSV append (ref eval.py:162-201, pandas-free)."""
+    exists = os.path.exists(csv_path)
+    ts = datetime.now().isoformat()
+    exp_name = exp_name or os.path.basename(os.path.dirname(str(checkpoint_path)))
+    with open(csv_path, "a", newline="") as f:
+        w = csv.writer(f)
+        if not exists:
+            w.writerow(["timestamp", "checkpoint_path", "exp_name", "dataset",
+                        "metric_name", "metric_value", "error", "iters_done"])
+        for name, value in metric_dict.items():
+            w.writerow([ts, checkpoint_path, exp_name, dataset_name, name,
+                        f"{value:.2f}", error, iters_done])
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", default="3DPW-TEST",
+                   help="comma list of datasets (3DPW-TEST, EMDB, ...)")
+    p.add_argument("--dataset-dir", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--tokenizer-checkpoint", default=None)
+    p.add_argument("--smpl-model", default=None, help="SMPL neutral .pkl/.npz")
+    p.add_argument("--smpl-model-male", default=None)
+    p.add_argument("--smpl-model-female", default=None)
+    p.add_argument("--joint-regressor-extra", default=None)
+    p.add_argument("--results-file", default="eval_results.csv")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--log-freq", type=int, default=10)
+    p.add_argument("--exp-name", default=None)
+    p.add_argument("--max-batches", type=int, default=0)
+    p.add_argument("--synthetic-weights", action="store_true",
+                   help="random weights + synthetic SMPL (pipeline smoke test)")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model config (CI smoke test; implies synthetic)")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force a JAX backend (the env's TPU plugin ignores "
+                        "JAX_PLATFORMS; this flag uses jax.config)")
+    args = p.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from tokenhmr_tpu.data.npz_dataset import (
+        DataLoader, GTVertexComputer, NpzDataset, NpzDatasetConfig,
+    )
+    from tokenhmr_tpu.models import smpl as S
+    from tokenhmr_tpu.models.tokenhmr import forward_step
+    from tokenhmr_tpu.utils.configs import EVAL_DATASETS
+    from tokenhmr_tpu.utils.evaluator import Evaluator
+
+    # --- model assembly ---------------------------------------------------
+    if args.synthetic_weights or args.tiny:
+        import __graft_entry__ as G
+
+        cfg, frozen, smpl_model, params, _ = G._flagship(
+            batch_size=1, tiny=args.tiny
+        )
+        male = female = smpl_model
+    else:
+        from tokenhmr_tpu.convert.load import load_tokenhmr_checkpoint
+
+        cfg, params, frozen, _mean = load_tokenhmr_checkpoint(
+            args.checkpoint, tokenizer_path=args.tokenizer_checkpoint
+        )
+        smpl_model = S.load_smpl_model(
+            args.smpl_model, joint_regressor_extra=args.joint_regressor_extra
+        )
+        male = S.load_smpl_model(args.smpl_model_male or args.smpl_model)
+        female = S.load_smpl_model(args.smpl_model_female or args.smpl_model)
+
+    gt_verts = GTVertexComputer(male, female)
+    J24 = np.asarray(smpl_model.J_regressor)[:24]
+
+    @jax.jit
+    def model_forward(params, img):
+        return forward_step(params, frozen, cfg, smpl_model, img)
+
+    for dataset_name in args.dataset.split(","):
+        ds_cfg = EVAL_DATASETS[dataset_name]
+        dataset = NpzDataset(NpzDatasetConfig(
+            dataset_file=os.path.join(args.dataset_dir, ds_cfg["dataset_file"]),
+            img_dir=os.path.join(args.dataset_dir, ds_cfg["img_dir"]),
+            dataset_name=dataset_name,
+            train=False,
+            img_size=max(cfg.vit.img_size),
+        ))
+        loader = DataLoader(dataset, args.batch_size,
+                            num_workers=args.num_workers)
+        evaluator = Evaluator(
+            dataset_length=len(dataset),
+            keypoint_list=ds_cfg["keypoint_list"],
+            pelvis_ind=ds_cfg.get("pelvis_ind", 39),
+            J_regressor_24=J24,
+            dataset=dataset_name,
+        )
+        t0 = time.time()
+        n_batches = 0
+        for i, batch in enumerate(loader):
+            batch = gt_verts(batch)
+            out = model_forward(params, jnp.asarray(batch["img"]))
+            evaluator(out, batch)
+            n_batches = i + 1
+            if i % args.log_freq == args.log_freq - 1:
+                print(evaluator.log(), flush=True)
+            if args.max_batches and n_batches >= args.max_batches:
+                break
+        dt = time.time() - t0
+        print(evaluator.log())
+        print(f"[{dataset_name}] {evaluator.counter} samples in {dt:.1f}s "
+              f"({evaluator.counter / dt:.1f} crops/s)")
+        save_eval_result(
+            args.results_file, evaluator.get_metrics_dict(),
+            args.checkpoint or "synthetic", dataset_name,
+            iters_done=n_batches, exp_name=args.exp_name,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,224 @@
+"""Model-stack tests: attention, ViT, decoder, token head, full forward."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tokenhmr_tpu.models import posevq as PQ
+from tokenhmr_tpu.models import smpl as S
+from tokenhmr_tpu.models import tokenhmr as T
+from tokenhmr_tpu.models.token_head import TokenHeadConfig, default_mean_params
+from tokenhmr_tpu.models.transformer import DecoderConfig, TransformerDecoder
+from tokenhmr_tpu.models.vit import ViT, ViTConfig, slice_to_vit_aspect
+from tokenhmr_tpu.ops.attention import mha_xla, mha
+
+
+TINY_VIT = ViTConfig(
+    img_size=(64, 48), embed_dim=64, depth=2, num_heads=4,
+    drop_path_rate=0.1, dtype=jnp.float32,
+)
+TINY_DEC = DecoderConfig(dim=32, depth=2, heads=2, dim_head=8, mlp_dim=32, context_dim=64)
+TINY_PQ = PQ.PoseVQConfig(code_dim=16, nb_code=32, width=32, depth=1)
+TINY_HEAD = TokenHeadConfig(
+    token_num=160, token_class_num=32, decoder=TINY_DEC,
+    hidden_dim=8, hidden_inter_dim=16, token_inter_dim=8,
+)
+
+
+class TestAttention:
+    def test_xla_matches_manual(self):
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(2, 3, 5, 8).astype(np.float32))
+        k = jnp.asarray(rng.randn(2, 3, 7, 8).astype(np.float32))
+        v = jnp.asarray(rng.randn(2, 3, 7, 8).astype(np.float32))
+        out = np.asarray(mha_xla(q, k, v))
+        scores = np.einsum("bhsd,bhtd->bhst", q, k) / np.sqrt(8)
+        p = np.exp(scores - scores.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        exp = np.einsum("bhst,bhtd->bhsd", p, v)
+        np.testing.assert_allclose(out, exp, atol=1e-5)
+
+    def test_auto_dispatch_cpu(self):
+        q = jnp.ones((1, 2, 4, 8))
+        out = mha(q, q, q)
+        assert out.shape == (1, 2, 4, 8)
+
+    def test_pallas_interpret_matches_xla(self):
+        """Run the Pallas kernel in interpreter mode and compare."""
+        from tokenhmr_tpu.ops import attention as A
+        import functools
+        from jax.experimental import pallas as pl
+
+        rng = np.random.RandomState(1)
+        q = jnp.asarray(rng.randn(2, 2, 16, 8).astype(np.float32))
+        k = jnp.asarray(rng.randn(2, 2, 16, 8).astype(np.float32))
+        v = jnp.asarray(rng.randn(2, 2, 16, 8).astype(np.float32))
+        B, H, Sq, D = q.shape
+        out = pl.pallas_call(
+            functools.partial(A._mha_kernel, scale=D ** -0.5),
+            grid=(B * H,),
+            in_specs=[pl.BlockSpec((1, Sq, D), lambda i: (i, 0, 0))] * 3,
+            out_specs=pl.BlockSpec((1, Sq, D), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B * H, Sq, D), q.dtype),
+            interpret=True,
+        )(q.reshape(B * H, Sq, D), k.reshape(B * H, Sq, D), v.reshape(B * H, Sq, D))
+        np.testing.assert_allclose(
+            np.asarray(out).reshape(B, H, Sq, D), np.asarray(mha_xla(q, k, v)), atol=1e-5
+        )
+
+    def test_custom_vjp_matches_autodiff(self):
+        from tokenhmr_tpu.ops.attention import _mha_pallas_bwd, mha_xla
+
+        rng = np.random.RandomState(2)
+        q = jnp.asarray(rng.randn(1, 2, 6, 4).astype(np.float32))
+        k = jnp.asarray(rng.randn(1, 2, 6, 4).astype(np.float32))
+        v = jnp.asarray(rng.randn(1, 2, 6, 4).astype(np.float32))
+        g = jnp.asarray(rng.randn(1, 2, 6, 4).astype(np.float32))
+        scale = 4 ** -0.5
+        _, vjp = jax.vjp(lambda q, k, v: mha_xla(q, k, v, scale), q, k, v)
+        dq_a, dk_a, dv_a = vjp(g)
+        dq_b, dk_b, dv_b = _mha_pallas_bwd(scale, (q, k, v), g)
+        np.testing.assert_allclose(np.asarray(dq_a), np.asarray(dq_b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dk_a), np.asarray(dk_b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dv_a), np.asarray(dv_b), atol=1e-5)
+
+
+class TestViT:
+    def test_shapes_and_grid(self):
+        cfg = TINY_VIT
+        assert cfg.grid_hw == (4, 3)
+        model = ViT(cfg)
+        x = jnp.zeros((2, 64, 48, 3))
+        params = model.init(jax.random.PRNGKey(0), x)
+        out = model.apply(params, x)
+        assert out.shape == (2, 12, 64)
+        assert out.dtype == jnp.float32
+
+    def test_square_input_sliced(self):
+        # (64, 64) square -> width slice to (64, 48)? slice is 32:-32 of 256.
+        # For the tiny config the slice helper removes 32px per side only for
+        # real-size inputs; here we verify the helper directly.
+        x = jnp.zeros((1, 256, 256, 3))
+        assert slice_to_vit_aspect(x).shape == (1, 256, 192, 3)
+
+    def test_vit_h_config_dims(self):
+        cfg = ViTConfig()
+        assert cfg.grid_hw == (16, 12)
+        assert cfg.num_patches == 192
+
+    def test_drop_path_train_vs_eval(self):
+        cfg = TINY_VIT
+        model = ViT(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 48, 3))
+        params = model.init(jax.random.PRNGKey(0), x)
+        out_eval1 = model.apply(params, x)
+        out_eval2 = model.apply(params, x)
+        np.testing.assert_array_equal(np.asarray(out_eval1), np.asarray(out_eval2))
+        out_train = model.apply(
+            params, x, train=True, rngs={"drop_path": jax.random.PRNGKey(2)}
+        )
+        assert not np.allclose(np.asarray(out_train), np.asarray(out_eval1))
+
+
+class TestDecoder:
+    def test_query_cross_attn(self):
+        dec = TransformerDecoder(TINY_DEC)
+        ctx = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 64))
+        tok = jnp.zeros((2, 1, 1))
+        params = dec.init(jax.random.PRNGKey(1), tok, ctx)
+        out = dec.apply(params, tok, ctx)
+        assert out.shape == (2, 1, 32)
+        # context actually matters
+        out2 = dec.apply(params, tok, ctx * 2.0)
+        assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def _tiny_frozen():
+    pq_model = PQ.PoseVQ(TINY_PQ)
+    pq_params = pq_model.init(jax.random.PRNGKey(3), jnp.zeros((1, 21, 6)))
+    vq_state = PQ.vq_init_state(TINY_PQ)
+    # give the codebook real values
+    x = jax.random.normal(jax.random.PRNGKey(4), (128, TINY_PQ.code_dim))
+    _, _, _, vq_state = PQ.vq_ema_reset_forward(vq_state, x, jax.random.PRNGKey(5))
+    return {"params": pq_params, "vq_state": vq_state}
+
+
+class TestTokenHMR:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = T.TokenHMRConfig(vit=TINY_VIT, head=TINY_HEAD, posevq=TINY_PQ)
+        frozen = _tiny_frozen()
+        smpl_model = S.synthetic_smpl_model(num_vertices=300, num_joints=24)
+        params = T.init_tokenhmr(jax.random.PRNGKey(0), cfg, frozen)
+        return cfg, frozen, smpl_model, params
+
+    def test_forward_contract(self, setup):
+        cfg, frozen, smpl_model, params = setup
+        img = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 48, 3))
+        out = T.forward_step(params, frozen, cfg, smpl_model, img)
+        assert out["pred_cam"].shape == (2, 3)
+        assert out["pred_smpl_params"]["global_orient"].shape == (2, 1, 3, 3)
+        assert out["pred_smpl_params"]["body_pose"].shape == (2, 23, 3, 3)
+        assert out["pred_smpl_params"]["betas"].shape == (2, 10)
+        assert out["pred_cam_t"].shape == (2, 3)
+        assert out["pred_vertices"].shape == (2, 300, 3)
+        assert out["pred_keypoints_3d"].shape == (2, 44, 3)
+        assert out["pred_keypoints_2d"].shape == (2, 44, 2)
+        assert out["cls_logits_softmax"].shape == (2, 160, 32)
+        # simplex check
+        np.testing.assert_allclose(
+            np.asarray(out["cls_logits_softmax"].sum(-1)), 1.0, atol=1e-5
+        )
+        # body poses are valid rotations
+        bp = np.asarray(out["pred_smpl_params"]["body_pose"])
+        np.testing.assert_allclose(np.linalg.det(bp), 1.0, atol=1e-4)
+
+    def test_jit_forward(self, setup):
+        cfg, frozen, smpl_model, params = setup
+        img = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 48, 3))
+        f = jax.jit(
+            lambda p, i: T.forward_step(p, frozen, cfg, smpl_model, i)
+        )
+        out = f(params, img)
+        ref = T.forward_step(params, frozen, cfg, smpl_model, img)
+        np.testing.assert_allclose(
+            np.asarray(out["pred_vertices"]), np.asarray(ref["pred_vertices"]), atol=1e-5
+        )
+
+    def test_grads_flow_to_live_params_only(self, setup):
+        cfg, frozen, smpl_model, params = setup
+        img = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 48, 3))
+
+        def loss(p, f):
+            out = T.forward_step(p, f, cfg, smpl_model, img)
+            return jnp.sum(out["pred_keypoints_2d"] ** 2) + jnp.sum(out["pred_vertices"] ** 2)
+
+        g_live = jax.grad(loss, argnums=0)(params, frozen)
+        leaves = jax.tree_util.tree_leaves(g_live)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+        # frozen tree receives zero grad (stop_gradient); differentiate only
+        # its float leaves (VQState.initialized is bool)
+        def loss_frozen(fp, cb):
+            f2 = {
+                "params": fp,
+                "vq_state": frozen["vq_state"]._replace(codebook=cb),
+            }
+            return loss(params, f2)
+
+        g_fp, g_cb = jax.grad(loss_frozen, argnums=(0, 1))(
+            frozen["params"], frozen["vq_state"].codebook
+        )
+        fleaves = jax.tree_util.tree_leaves(g_fp) + [g_cb]
+        assert all(float(jnp.abs(l).max()) == 0.0 for l in fleaves)
+
+    def test_regression_head_variant(self, setup):
+        cfg, frozen, smpl_model, _ = setup
+        cfg2 = T.TokenHMRConfig(
+            vit=TINY_VIT, head=TINY_HEAD, posevq=TINY_PQ, head_type="transformer_decoder"
+        )
+        params2 = T.init_tokenhmr(jax.random.PRNGKey(5), cfg2, frozen)
+        img = jax.random.normal(jax.random.PRNGKey(6), (2, 64, 48, 3))
+        out = T.forward_step(params2, frozen, cfg2, smpl_model, img)
+        assert out["pred_vertices"].shape == (2, 300, 3)
+        assert "cls_logits_softmax" not in out

@@ -1,0 +1,219 @@
+"""ViT-H backbone (ViTPose/HMR2-style) in flax, TPU-first.
+
+Capabilities of ref `tokenhmr/lib/models/backbones/vit.py`: 256x192 crops ->
+overlapping 16x16 patch embed (pad 4) -> +abs pos embed -> 32 pre-norm
+blocks (16 heads, mlp x4, stochastic depth 0.55) -> final LayerNorm.
+
+TPU-native differences:
+  * NHWC layout, tokens stay (B, S, C) throughout (the reference reshapes
+    to NCHW feature maps at the end, `vit.py:337`, only for the head to
+    immediately rearrange back, `token_head.py:69`; we skip the round trip)
+  * attention runs through the fused Pallas kernel on TPU (ops/attention.py)
+  * bf16 activations with fp32 params and fp32 LayerNorms
+  * 256x256 -> width-slice [:, :, 32:-32] (ref `vit.py:342`) is provided as
+    `slice_to_vit_aspect` for callers that feed square crops.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import mha
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    """ViT-H/16 as used by TokenHMR (ref `vit.py:12-24`)."""
+
+    img_size: Tuple[int, int] = (256, 192)   # (H, W) after slicing
+    patch_size: int = 16
+    embed_dim: int = 1280
+    depth: int = 32
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path_rate: float = 0.55
+    dtype: jnp.dtype = jnp.bfloat16          # activation dtype
+    attn_impl: str = "auto"                  # auto | pallas | xla
+    remat: bool = False                      # jax.checkpoint each block
+    scan_blocks: bool = True                 # lax.scan over the 32 blocks
+
+    @property
+    def grid_hw(self) -> Tuple[int, int]:
+        # conv pad 4: H' = (H + 8 - 16)//16 + 1
+        return (
+            (self.img_size[0] + 8 - self.patch_size) // self.patch_size + 1,
+            (self.img_size[1] + 8 - self.patch_size) // self.patch_size + 1,
+        )
+
+    @property
+    def num_patches(self) -> int:
+        h, w = self.grid_hw
+        return h * w
+
+
+def slice_to_vit_aspect(x: jax.Array) -> jax.Array:
+    """(B, S, S, 3) -> (B, S, 3S/4, 3) center width slice.
+
+    At S=256 this is exactly the reference's x[:, :, 32:-32] (ref vit.py:342);
+    expressed proportionally (S/8 per side) so tiny test configs work too.
+    """
+    cut = x.shape[2] // 8
+    return x[:, :, cut:-cut, :]
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (ref vit.py:59-69)."""
+
+    rate: float
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("drop_path")
+        mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, mask_shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class ViTAttention(nn.Module):
+    """qkv -> fused attention -> proj (ref vit.py:89-126)."""
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        B, S, C = x.shape
+        head_dim = c.embed_dim // c.num_heads
+        qkv = nn.Dense(3 * c.embed_dim, use_bias=c.qkv_bias, dtype=c.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, S, 3, c.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))  # (B, H, S, D)
+        o = mha(q, k, v, impl=c.attn_impl)
+        o = o.transpose(0, 2, 1, 3).reshape(B, S, C)
+        return nn.Dense(c.embed_dim, dtype=c.dtype, name="proj")(o)
+
+
+class ViTMlp(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        h = nn.Dense(int(c.embed_dim * c.mlp_ratio), dtype=c.dtype, name="fc1")(x)
+        h = nn.gelu(h, approximate=False)
+        return nn.Dense(c.embed_dim, dtype=c.dtype, name="fc2")(h)
+
+
+class ViTBlock(nn.Module):
+    cfg: ViTConfig
+    drop_path: float
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        dp = lambda name: DropPath(self.drop_path, self.deterministic, name=name)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x).astype(c.dtype)
+        x = x + dp("dp1")(ViTAttention(c, name="attn")(h))
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x).astype(c.dtype)
+        x = x + dp("dp2")(ViTMlp(c, name="mlp")(h))
+        return x
+
+
+class _ScanViTBlock(nn.Module):
+    """Scan body: same math as ViTBlock, drop-path rate as a scanned input.
+
+    Compiling ONE block that lax.scan iterates 32 times cuts XLA compile
+    time/HLO size by ~depth x vs unrolling (identical runtime math; the
+    per-block matmuls are far too large for cross-layer fusion to matter).
+    """
+
+    cfg: ViTConfig
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x, dp_rate):
+        c = self.cfg
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x).astype(c.dtype)
+        h = ViTAttention(c, name="attn")(h)
+        x = x + _traced_drop_path(self, h, dp_rate)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x).astype(c.dtype)
+        h = ViTMlp(c, name="mlp")(h)
+        x = x + _traced_drop_path(self, h, dp_rate)
+        return x, None
+
+
+def _traced_drop_path(mod: nn.Module, x, rate):
+    if mod.deterministic:
+        return x
+    keep = 1.0 - rate
+    rng = mod.make_rng("drop_path")
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class ViT(nn.Module):
+    """(B, 256, 192, 3) normalized crop -> (B, 192, 1280) fp32 tokens."""
+
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.cfg
+        if x.shape[1] == x.shape[2]:  # square input: apply the ref width slice
+            x = slice_to_vit_aspect(x)
+        x = nn.Conv(
+            c.embed_dim,
+            kernel_size=(c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            padding=[(4, 4), (4, 4)],
+            dtype=c.dtype,
+            name="patch_embed",
+        )(x.astype(c.dtype))
+        B, Hp, Wp, C = x.shape
+        x = x.reshape(B, Hp * Wp, C)
+
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1, c.num_patches + 1, c.embed_dim),
+            jnp.float32,
+        )
+        # ref vit.py:324-327: add patch pos embeds + the (sin-cos zero) cls slot
+        x = x + (pos[:, 1:] + pos[:, :1]).astype(c.dtype)
+
+        dpr = np.linspace(0, c.drop_path_rate, c.depth)
+        if c.scan_blocks:
+            body = _ScanViTBlock
+            if c.remat:
+                body = nn.remat(body, static_argnums=())
+            scan = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "drop_path": True},
+                in_axes=0,
+                length=c.depth,
+            )
+            x, _ = scan(c, deterministic=not train, name="blocks")(
+                x, jnp.asarray(dpr, jnp.float32)
+            )
+        else:
+            block_ctor = ViTBlock
+            if c.remat:
+                block_ctor = nn.remat(ViTBlock, static_argnums=())
+            for i in range(c.depth):
+                x = block_ctor(c, float(dpr[i]), deterministic=not train,
+                               name=f"block{i}")(x)
+
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="last_norm")(x)
+        return x.astype(jnp.float32)  # (B, S, C) tokens, h-major order

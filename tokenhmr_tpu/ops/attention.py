@@ -1,0 +1,131 @@
+"""Fused multi-head attention for TPU.
+
+The reference's hot loop is 32 ViT-H blocks of vanilla softmax attention at
+seq 192 / 16 heads / head_dim 80 (ref `tokenhmr/lib/models/backbones/
+vit.py:89-126`), executed by cuDNN on GPU.  Here:
+
+  * `mha_pallas`: a single-pass Pallas kernel, one grid program per
+    (batch, head).  At S=192 the full (S, S) score matrix fits VMEM
+    comfortably (147 KB fp32), so no flash-style streaming is needed —
+    this is an arithmetic-intensity problem, not a memory one
+    (SURVEY.md §5 "long-context ... absent").  QK^T and PV hit the MXU;
+    the softmax runs in fp32 on the VPU between them, fused in VMEM so the
+    scores never touch HBM.
+  * `mha_xla`: reference einsum implementation (always used on CPU tests;
+    also the autodiff path — the Pallas kernel defines a custom VJP that
+    recomputes probabilities, saving the S×S tensor round-trip to HBM).
+
+`mha()` dispatches on backend.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu is importable everywhere but only lowers on TPU
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+
+def mha_xla(q: jax.Array, k: jax.Array, v: jax.Array, scale: Optional[float] = None) -> jax.Array:
+    """(B, H, S, D), (B, H, T, D), (B, H, T, D) -> (B, H, S, D)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores * scale, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhst,bhtd->bhsd", probs, v, preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0]  # (S, D)
+    k = k_ref[0]  # (T, D)
+    v = v_ref[0]  # (T, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (S, T)
+    s = s * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / denom).astype(v.dtype)
+    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _mha_pallas_fwd_impl(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
+    B, H, S, D = q.shape
+    T = k.shape[2]
+    qf = q.reshape(B * H, S, D)
+    kf = k.reshape(B * H, T, D)
+    vf = v.reshape(B * H, T, D)
+    spec = lambda s1, s2: pl.BlockSpec(
+        (1, s1, s2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(_mha_kernel, scale=scale),
+        grid=(B * H,),
+        in_specs=[spec(S, D), spec(T, D), spec(T, D)],
+        out_specs=spec(S, D),
+        out_shape=jax.ShapeDtypeStruct((B * H, S, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * S * T * D * 2,
+            bytes_accessed=(qf.size + kf.size + vf.size * 2) * q.dtype.itemsize,
+            transcendentals=B * H * S * T,
+        ),
+    )(qf, kf, vf)
+    return out.reshape(B, H, S, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _mha_pallas(q, k, v, scale):
+    return _mha_pallas_fwd_impl(q, k, v, scale)
+
+
+def _mha_pallas_fwd(q, k, v, scale):
+    return _mha_pallas_fwd_impl(q, k, v, scale), (q, k, v)
+
+
+def _mha_pallas_bwd(scale, res, g):
+    """Recompute-probabilities backward (standard softmax-attention VJP)."""
+    q, k, v = res
+    scores = jnp.einsum("bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(scores * scale, axis=-1)
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("bhst,bhsd->bhtd", p, g32)
+    dp = jnp.einsum("bhsd,bhtd->bhst", g32, v.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+    dq = jnp.einsum("bhst,bhtd->bhsd", ds, k.astype(jnp.float32))
+    dk = jnp.einsum("bhst,bhsd->bhtd", ds, q.astype(jnp.float32))
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_mha_pallas.defvjp(_mha_pallas_fwd, _mha_pallas_bwd)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def mha(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """Fused softmax attention.  impl in {auto, pallas, xla}."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if impl == "auto":
+        impl = "pallas" if _on_tpu() else "xla"
+    if impl == "pallas":
+        return _mha_pallas(q, k, v, float(scale))
+    return mha_xla(q, k, v, scale)

@@ -1,0 +1,81 @@
+"""TokenHMR training step: forward + TALS loss + grad-clip + AdamW, one
+jitted SPMD program.
+
+Replaces ref `tokenhmr.py:369-419` (Lightning manual-optimization
+training_step): no framework loop, no manual_backward — the step is a pure
+function over (params, opt_state, batch, rng), sharded by placing params
+(replicated or fsdp) and batch (data-sharded) on the mesh; XLA inserts the
+gradient all-reduce over ICI (SURVEY.md §2.8).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.tokenhmr import TokenHMRConfig, forward_step
+from .losses import compute_tokenhmr_loss, token_loss
+
+
+def make_optimizer(
+    lr: float = 1e-5,
+    weight_decay: float = 1e-4,
+    grad_clip: float = 1.0,
+) -> optax.GradientTransformation:
+    """AdamW + global-norm clip (ref configure_optimizers tokenhmr.py:116-133
+    + grad clip :403-406)."""
+    chain = []
+    if grad_clip and grad_clip > 0:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain.append(optax.adamw(lr, weight_decay=weight_decay))
+    return optax.chain(*chain)
+
+
+def make_train_step(
+    cfg: TokenHMRConfig,
+    smpl_model,
+    frozen: Dict[str, Any],
+    optimizer: optax.GradientTransformation,
+    loss_weights: Optional[Dict[str, float]] = None,
+    loose_sup: bool = True,
+    loose_weight: float = 0.05,
+    token_loss_weight: float = 0.0,
+) -> Callable:
+    """Returns train_step(params, opt_state, batch, rng) ->
+    (params, opt_state, metrics)."""
+    lw = loss_weights or {}
+
+    def train_step(params, opt_state, batch, rng):
+        r_dp, r_do = jax.random.split(rng)
+
+        def loss_fn(p):
+            out = forward_step(
+                p, frozen, cfg, smpl_model, batch["img"], train=True,
+                rngs={"drop_path": r_dp, "dropout": r_do},
+            )
+            total, losses = compute_tokenhmr_loss(
+                out, batch, lw, loose_sup=loose_sup, loose_weight=loose_weight,
+            )
+            if token_loss_weight > 0 and "gt_tokens" in batch:
+                tl = token_loss(out["cls_logits_softmax"], batch["gt_tokens"])
+                total = total + token_loss_weight * tl
+                losses["token"] = tl
+            return total, losses
+
+        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        metrics = {k: v for k, v in losses.items()}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_params, new_opt_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: TokenHMRConfig, smpl_model, frozen) -> Callable:
+    def eval_step(params, batch):
+        return forward_step(params, frozen, cfg, smpl_model, batch["img"], train=False)
+
+    return eval_step

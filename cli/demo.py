@@ -1,0 +1,157 @@
+"""Single-image / folder multi-person demo.
+
+Capabilities of ref `tokenhmr/demo.py`: detect people -> 256x192-aspect
+crops -> batched TokenHMR forward -> full-image camera -> mesh overlay
+renders (+ optional side view, .obj export).  The detector is pluggable
+(tokenhmr_tpu/data/detect.py) instead of hard-wired detectron2.
+
+Usage:
+  python -m cli.demo --img-folder demo/images --out-folder demo/out \
+      --checkpoint ckpt --tokenizer-checkpoint tokenizer.pth \
+      --smpl-model smpl.pkl [--detector hog|full_frame|file]
+Smoke:
+  python -m cli.demo --img-folder imgs --out-folder out --tiny --platform cpu
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--img-folder", required=True)
+    p.add_argument("--out-folder", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--tokenizer-checkpoint", default=None)
+    p.add_argument("--smpl-model", default=None)
+    p.add_argument("--joint-regressor-extra", default=None)
+    p.add_argument("--detector", default="full_frame",
+                   choices=["full_frame", "file", "hog"])
+    p.add_argument("--boxes-file", default=None)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--side-view", action="store_true")
+    p.add_argument("--save-mesh", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    args = p.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import cv2
+
+    from tokenhmr_tpu.data.augment import DEFAULT_MEAN, DEFAULT_STD, generate_image_patch
+    from tokenhmr_tpu.data.detect import FileBoxSource, make_detector
+    from tokenhmr_tpu.data.npz_dataset import load_image_rgb
+    from tokenhmr_tpu.models import smpl as S
+    from tokenhmr_tpu.models.tokenhmr import forward_step
+    from tokenhmr_tpu.ops.crop import bbox_xyxy_to_center_scale, expand_to_aspect_ratio
+    from tokenhmr_tpu.ops.projection import cam_crop_to_full
+    from tokenhmr_tpu.utils.render import overlay_mesh_on_image, save_obj
+
+    # model
+    if args.tiny or args.checkpoint is None:
+        import __graft_entry__ as G
+
+        cfg, frozen, smpl_model, params, _ = G._flagship(batch_size=1, tiny=args.tiny)
+    else:
+        from tokenhmr_tpu.convert.load import load_tokenhmr_checkpoint
+
+        cfg, params, frozen, mean_params = load_tokenhmr_checkpoint(
+            args.checkpoint, tokenizer_path=args.tokenizer_checkpoint
+        )
+        smpl_model = S.load_smpl_model(
+            args.smpl_model, joint_regressor_extra=args.joint_regressor_extra
+        )
+
+    patch_h, patch_w = cfg.vit.img_size
+    crop_size = max(cfg.vit.img_size)
+
+    @jax.jit
+    def model_forward(params, img):
+        return forward_step(params, frozen, cfg, smpl_model, img)
+
+    detector = make_detector(args.detector, args.boxes_file)
+    os.makedirs(args.out_folder, exist_ok=True)
+
+    exts = ("*.jpg", "*.jpeg", "*.png")
+    images = sorted(sum([glob.glob(os.path.join(args.img_folder, e)) for e in exts], []))
+    if not images:
+        print(f"no images found in {args.img_folder}")
+        return
+
+    for img_path in images:
+        img = load_image_rgb(img_path)
+        H, W = img.shape[:2]
+        det = detector.for_image(img_path) if isinstance(detector, FileBoxSource) else detector
+        boxes = det(img)
+        if len(boxes) == 0:
+            print(f"{os.path.basename(img_path)}: no people")
+            continue
+        centers, scales = bbox_xyxy_to_center_scale(boxes[:, :4])
+
+        crops, box_sizes = [], []
+        for c, s in zip(centers, scales):
+            wh = expand_to_aspect_ratio(s * 200.0, (192, 256))
+            size = float(wh.max())
+            patch, _ = generate_image_patch(
+                img, c[0], c[1], size, size, crop_size, crop_size,
+                do_flip=False, scale=1.0, rot=0.0,
+            )
+            crops.append((patch.astype(np.float32) - DEFAULT_MEAN) / DEFAULT_STD)
+            box_sizes.append(size)
+        crops_np = np.stack(crops)
+        box_sizes = np.asarray(box_sizes, np.float32)
+
+        all_verts, all_cam_t = [], []
+        for s0 in range(0, len(crops_np), args.batch_size):
+            out = model_forward(params, jnp.asarray(crops_np[s0:s0 + args.batch_size]))
+            cam_full = cam_crop_to_full(
+                out["pred_cam"],
+                jnp.asarray(centers[s0:s0 + args.batch_size]),
+                jnp.asarray(box_sizes[s0:s0 + args.batch_size]),
+                jnp.asarray(np.tile([[W, H]], (len(out["pred_cam"]), 1)), jnp.float32),
+                focal_length=cfg.focal_length,
+            )
+            all_verts.append(np.asarray(out["pred_vertices"]))
+            all_cam_t.append(np.asarray(cam_full))
+        verts = np.concatenate(all_verts)
+        cam_t = np.concatenate(all_cam_t)
+
+        base = os.path.splitext(os.path.basename(img_path))[0]
+        composite = img.copy()
+        scaled_focal = cfg.focal_length / crop_size * max(H, W)
+        for pi in range(len(verts)):
+            v_cam = verts[pi] + cam_t[pi]
+            composite = overlay_mesh_on_image(
+                composite, v_cam, smpl_model.faces, scaled_focal, alpha=0.9
+            )
+            if args.save_mesh:
+                save_obj(os.path.join(args.out_folder, f"{base}_{pi}.obj"),
+                         verts[pi], smpl_model.faces)
+        cv2.imwrite(os.path.join(args.out_folder, f"{base}_overlay.png"),
+                    composite[:, :, ::-1])
+        if args.side_view:
+            side = np.full_like(img, 255)
+            rot90 = np.array([[0, 0, 1], [0, 1, 0], [-1, 0, 0]], np.float32)
+            for pi in range(len(verts)):
+                v_side = (verts[pi] @ rot90.T) + cam_t[pi]
+                side = overlay_mesh_on_image(
+                    side, v_side, smpl_model.faces, scaled_focal, alpha=1.0
+                )
+            cv2.imwrite(os.path.join(args.out_folder, f"{base}_side.png"),
+                        side[:, :, ::-1])
+        print(f"{os.path.basename(img_path)}: {len(verts)} people -> "
+              f"{base}_overlay.png")
+
+
+if __name__ == "__main__":
+    main()

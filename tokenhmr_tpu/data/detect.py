@@ -1,0 +1,113 @@
+"""Pluggable person detection for the demo pipeline.
+
+The reference hard-wires detectron2's ViTDet cascade R-CNN (ref
+`demo.py:40-49`, a CUDA/C++ dependency).  Here detection is an interface:
+any (image -> boxes xyxy + scores) callable works.  Built-ins:
+
+  * `FileBoxSource` — boxes from a json sidecar ({image_name: [[x1,y1,x2,y2],..]})
+  * `FullFrameDetector` — one box covering the frame (single-person media)
+  * `HogDetector` — OpenCV HOG+SVM people detector (CPU, no extra deps)
+
+plus `nms_xyxy`, an XLA-friendly pure-numpy NMS used by all sources.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+Detector = Callable[[np.ndarray], np.ndarray]  # img -> (N, 5) [x1,y1,x2,y2,score]
+
+
+def nms_xyxy(boxes: np.ndarray, scores: np.ndarray, iou_thresh: float = 0.5) -> np.ndarray:
+    """Standard greedy NMS; returns kept indices."""
+    if len(boxes) == 0:
+        return np.zeros(0, np.int64)
+    x1, y1, x2, y2 = boxes.T
+    areas = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+    order = np.argsort(-scores)
+    keep = []
+    while order.size:
+        i = order[0]
+        keep.append(i)
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        inter = np.maximum(xx2 - xx1, 0) * np.maximum(yy2 - yy1, 0)
+        iou = inter / np.maximum(areas[i] + areas[order[1:]] - inter, 1e-9)
+        order = order[1:][iou <= iou_thresh]
+    return np.asarray(keep, np.int64)
+
+
+class FullFrameDetector:
+    """One box covering the whole frame (score 1)."""
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape[:2]
+        return np.array([[0, 0, w, h, 1.0]], np.float32)
+
+
+class FileBoxSource:
+    """Boxes from a json sidecar: {basename: [[x1,y1,x2,y2(,score)], ...]}."""
+
+    def __init__(self, path: str):
+        with open(path) as f:
+            self.boxes: Dict[str, List] = json.load(f)
+        self._current: Optional[str] = None
+
+    def for_image(self, name: str) -> "FileBoxSource":
+        self._current = os.path.basename(name)
+        return self
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        entries = self.boxes.get(self._current, [])
+        out = []
+        for e in entries:
+            e = list(e) + [1.0] * (5 - len(e))
+            out.append(e[:5])
+        return np.asarray(out, np.float32).reshape(-1, 5)
+
+
+class HogDetector:
+    """OpenCV HOG people detector (CPU fallback; no native CUDA deps)."""
+
+    def __init__(self, score_thresh: float = 0.3, iou_thresh: float = 0.5):
+        assert cv2 is not None
+        self.hog = cv2.HOGDescriptor()
+        self.hog.setSVMDetector(cv2.HOGDescriptor_getDefaultPeopleDetector())
+        self.score_thresh = score_thresh
+        self.iou_thresh = iou_thresh
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        rects, weights = self.hog.detectMultiScale(
+            img[:, :, ::-1], winStride=(8, 8), padding=(8, 8), scale=1.05
+        )
+        if len(rects) == 0:
+            return np.zeros((0, 5), np.float32)
+        boxes = np.array(
+            [[x, y, x + w, y + h] for (x, y, w, h) in rects], np.float32
+        )
+        scores = np.asarray(weights, np.float32).reshape(-1)
+        keep = scores >= self.score_thresh
+        boxes, scores = boxes[keep], scores[keep]
+        keep = nms_xyxy(boxes, scores, self.iou_thresh)
+        return np.concatenate([boxes[keep], scores[keep, None]], axis=1)
+
+
+def make_detector(kind: str, boxes_file: Optional[str] = None) -> Detector:
+    if kind == "full_frame":
+        return FullFrameDetector()
+    if kind == "file":
+        assert boxes_file, "--boxes-file required for file detector"
+        return FileBoxSource(boxes_file)
+    if kind == "hog":
+        return HogDetector()
+    raise ValueError(f"unknown detector {kind!r} (full_frame | file | hog)")

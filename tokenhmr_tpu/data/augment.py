@@ -353,10 +353,13 @@ def get_example(
 
     smpl_params = smpl_param_processing(smpl_params, aug.rot, aug.do_flip)
 
-    # color scale + normalize (channels-last)
-    cs = np.asarray(aug.color_scale, np.float32)
+    # color scale + normalize (channels-last); extra channels (e.g. the RGBA
+    # detection mask, ref image_dataset.py:494-510) pass through with scale 1
+    C = patch.shape[2]
+    cs = np.ones(C, np.float32)
+    cs[:3] = np.asarray(aug.color_scale, np.float32)[: min(3, C)]
     patch = np.clip(patch * cs, 0, 255)
-    patch = (patch - mean) / std
+    patch = (patch - np.asarray(mean, np.float32)[:C]) / np.asarray(std, np.float32)[:C]
 
     kp2d = keypoints_2d.copy()
     if aug.do_flip:

@@ -1,0 +1,328 @@
+"""Tar-shard streaming training datasets (webdataset-format, no webdataset
+dependency).
+
+Capabilities of ref `image_dataset.py:275-533` (load_tars_as_webdataset +
+process_webdataset_tar_item) and `datasets/__init__.py:28-42`
+(MixedWebDataset): brace-expanded shard urls, per-host shard splitting,
+shard+sample shuffling with a buffer, per-person expansion with detection
+masks, the filter/suppress stack, crop/augment into training items, weighted
+dataset mixing, epoch sizing, and a background-thread prefetcher.
+
+Tar item layout (webdataset convention, same files the reference reads):
+  <key>.jpg                 uint8 image
+  <key>.data.pyd            pickled list of per-person annotation dicts
+  <key>.detection.npz       optional {'masks': (P, H, W) bool}
+"""
+from __future__ import annotations
+
+import dataclasses
+import io
+import pickle
+import queue
+import re
+import tarfile
+import threading
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from .augment import AugmConfig, DEFAULT_MEAN, DEFAULT_STD, get_example
+from . import filters as F
+
+
+def expand_urls(pattern: str) -> List[str]:
+    """Brace-range expansion: 'a-{000000..000004}.tar' -> 5 urls
+    (ref image_dataset.py:21-28 via braceexpand)."""
+    m = re.search(r"\{(\d+)\.\.(\d+)\}", pattern)
+    if not m:
+        return [pattern]
+    lo, hi = m.group(1), m.group(2)
+    width = len(lo)
+    out = []
+    for i in range(int(lo), int(hi) + 1):
+        out.extend(expand_urls(pattern[: m.start()] + str(i).zfill(width)
+                               + pattern[m.end():]))
+    return out
+
+
+def iter_tar_samples(path: str) -> Iterator[Dict[str, Any]]:
+    """Group tar members by key and decode (ref wds .decode('rgb8'))."""
+    with tarfile.open(path, "r|*") as tf:
+        current_key = None
+        sample: Dict[str, Any] = {}
+        for member in tf:
+            if not member.isfile():
+                continue
+            name = member.name
+            key, _, ext = name.partition(".")
+            if current_key is not None and key != current_key:
+                if sample:
+                    yield sample
+                sample = {}
+            current_key = key
+            raw = tf.extractfile(member).read()
+            if ext in ("jpg", "jpeg", "png"):
+                img = cv2.imdecode(np.frombuffer(raw, np.uint8), cv2.IMREAD_COLOR)
+                sample["jpg"] = img[:, :, ::-1]  # rgb8
+                sample["__key__"] = key
+            elif ext == "data.pyd":
+                sample["data.pyd"] = pickle.loads(raw)
+                sample["__key__"] = key
+            elif ext == "detection.npz":
+                sample["detection.npz"] = dict(np.load(io.BytesIO(raw),
+                                                       allow_pickle=True))
+                sample["__key__"] = key
+        if sample:
+            yield sample
+
+
+@dataclasses.dataclass
+class TarDatasetConfig:
+    urls: str = ""
+    dataset_name: str = ""
+    train: bool = True
+    img_size: int = 256
+    bbox_shape: Optional[Sequence[int]] = (192, 256)
+    augm: AugmConfig = dataclasses.field(default_factory=AugmConfig)
+    # filter stack flags (ref datasets_tar.yaml / data_filtering/low1.yaml)
+    suppress_kp_conf_thresh: float = 0.3
+    suppress_betas_thresh: float = 3.0
+    suppress_bad_poses: bool = True
+    poses_betas_simultaneous: bool = True
+    betas_reg: bool = True
+    filter_no_poses: bool = False
+    filter_numkp: int = 4
+    filter_numkp_thresh: float = 0.0
+    filter_reproj_thresh: float = 31622.0   # 10**4.5
+    filter_min_bbox_size: float = 0.0
+    use_smpl_params: bool = True
+    shuffle_buffer: int = 100
+    corrupt_keys: Sequence[str] = ()
+    amass_hist_path: Optional[str] = None
+
+
+class TarPoseDataset:
+    """One dataset's infinite (resampled) per-person item stream."""
+
+    def __init__(self, cfg: TarDatasetConfig, process_index: int = 0,
+                 process_count: int = 1, seed: int = 0):
+        self.cfg = cfg
+        urls = expand_urls(cfg.urls)
+        # per-host shard split (ref wds.split_by_node)
+        self.urls = urls[process_index::process_count] or urls
+        self.rng = np.random.default_rng(seed + process_index)
+        self.hist = (F.load_amass_hist_smooth(cfg.amass_hist_path)
+                     if (cfg.suppress_bad_poses and cfg.amass_hist_path)
+                     else None)
+
+    # --- per-person expansion (ref split_data :293-307) -------------------
+    def _split(self, sample: Dict) -> Iterator[Dict]:
+        datas = sample.get("data.pyd", [])
+        if isinstance(datas, dict):
+            datas = [datas]
+        for data in datas:
+            if "detection.npz" in sample and "extra_info" in data and \
+                    "detection_npz_idx" in data.get("extra_info", {}):
+                det_idx = data["extra_info"]["detection_npz_idx"]
+                mask = sample["detection.npz"]["masks"][det_idx]
+            else:
+                mask = np.ones(sample["jpg"].shape[:2], bool)
+            yield {"__key__": sample["__key__"], "jpg": sample["jpg"],
+                   "data": dict(data), "mask": mask}
+
+    # --- filter/suppress stack (ref :391-424) -----------------------------
+    def _apply_filters(self, person: Dict) -> Optional[Dict]:
+        c = self.cfg
+        d = person["data"]
+        if c.suppress_kp_conf_thresh > 0:
+            d = F.suppress_bad_kps(d, c.suppress_kp_conf_thresh)
+        if c.suppress_betas_thresh > 0:
+            d = F.suppress_bad_betas(d, c.suppress_betas_thresh)
+        if c.suppress_bad_poses and self.hist is not None:
+            d = F.suppress_bad_poses(d, self.hist)
+        if c.poses_betas_simultaneous:
+            d = F.poses_betas_simultaneous(d)
+        if c.filter_no_poses and not F.filter_no_poses(d):
+            return None
+        if c.filter_numkp > 0 and not F.filter_numkp(
+                d, c.filter_numkp, c.filter_numkp_thresh):
+            return None
+        if c.filter_reproj_thresh > 0 and not F.filter_reproj_error(
+                d, c.filter_reproj_thresh):
+            return None
+        if c.filter_min_bbox_size > 0 and not F.filter_bbox_size(
+                d, c.filter_min_bbox_size):
+            return None
+        if c.betas_reg:
+            d = F.set_betas_for_reg(d)
+        if not c.use_smpl_params:
+            d["has_body_pose"] = np.array(0.0, np.float32)
+            d["has_betas"] = np.array(0.0, np.float32)
+        person["data"] = d
+        return person
+
+    # --- crop/augment into a training item (ref :443-533) -----------------
+    def _process(self, person: Dict) -> Dict:
+        c = self.cfg
+        data = person["data"]
+        image = person["jpg"]
+        mask = person["mask"]
+        from ..ops.crop import expand_to_aspect_ratio
+
+        center = np.asarray(data["center"], np.float32)
+        scale = np.asarray(data["scale"], np.float32)
+        bbox_size = expand_to_aspect_ratio(
+            scale * 200.0, target_aspect_ratio=c.bbox_shape
+        ).max()
+        body_pose = np.asarray(data["body_pose"], np.float32)
+        smpl_params = {
+            "global_orient": body_pose[:3],
+            "body_pose": body_pose[3:],
+            "betas": np.asarray(data["betas"], np.float32),
+        }
+        has_smpl = {
+            "global_orient": np.float32(data["has_body_pose"]),
+            "body_pose": np.float32(data["has_body_pose"]),
+            "betas": np.float32(data["has_betas"]),
+        }
+        rgba = np.concatenate(
+            [image, (mask.astype(np.uint8) * 255)[:, :, None]], axis=2
+        )
+        mean4 = np.concatenate([DEFAULT_MEAN, [0.0]]).astype(np.float32)
+        std4 = np.concatenate([DEFAULT_STD, [255.0]]).astype(np.float32)
+        patch, kp2d, kp3d, smpl_params, has_smpl, img_size = get_example(
+            rgba, center[0], center[1], bbox_size, bbox_size,
+            np.asarray(data["keypoints_2d"], np.float32),
+            np.asarray(data["keypoints_3d"], np.float32),
+            smpl_params, has_smpl,
+            patch_width=c.img_size, patch_height=c.img_size,
+            mean=mean4, std=std4,
+            do_augment=c.train, augm_config=c.augm, rng=self.rng,
+        )
+        img_patch = patch[:, :, :3]
+        mask_patch = np.clip(patch[:, :, 3], 0, 1)
+        if (mask_patch < 0.5).all():
+            mask_patch = np.ones_like(mask_patch)
+        return {
+            "img": img_patch.astype(np.float32),
+            "mask": mask_patch.astype(np.float32),
+            "keypoints_2d": kp2d,
+            "keypoints_3d": kp3d,
+            "smpl_params": smpl_params,
+            "has_smpl_params": has_smpl,
+            "box_center": center,
+            "box_size": np.float32(bbox_size),
+            "img_size": img_size[::-1].astype(np.float32),
+            "imgname": person["__key__"],
+            "dataset": c.dataset_name,
+        }
+
+    def __iter__(self) -> Iterator[Dict]:
+        c = self.cfg
+        buf: List[Dict] = []
+        while True:  # resampled infinite stream (ref resampled=True)
+            urls = list(self.urls)
+            self.rng.shuffle(urls)
+            for url in urls:
+                try:
+                    samples = iter_tar_samples(url)
+                    for sample in samples:
+                        if sample.get("__key__") in c.corrupt_keys:
+                            continue
+                        if "jpg" not in sample or "data.pyd" not in sample:
+                            continue
+                        for person in self._split(sample):
+                            person = self._apply_filters(person)
+                            if person is None:
+                                continue
+                            item = self._process(person)
+                            if c.shuffle_buffer > 1 and c.train:
+                                buf.append(item)
+                                if len(buf) >= c.shuffle_buffer:
+                                    idx = self.rng.integers(len(buf))
+                                    buf[idx], buf[-1] = buf[-1], buf[idx]
+                                    yield buf.pop()
+                            else:
+                                yield item
+                except (tarfile.TarError, EOFError, OSError) as e:
+                    # corrupt-shard skip (ref CORRUPT_TARS handling)
+                    print(f"[tar_dataset] skipping shard {url}: {e}")
+                    continue
+            if not c.train:
+                for item in buf:
+                    yield item
+                return
+
+
+class MixedTarDataset:
+    """Weighted mix of dataset streams (ref wds.RandomMix / MixedWebDataset)."""
+
+    def __init__(self, datasets: Sequence[TarPoseDataset],
+                 weights: Sequence[float], seed: int = 0):
+        self.iters = [iter(d) for d in datasets]
+        w = np.asarray(weights, np.float64)
+        self.probs = w / w.sum()
+        self.rng = np.random.default_rng(seed)
+
+    def __iter__(self) -> Iterator[Dict]:
+        while True:
+            i = int(self.rng.choice(len(self.iters), p=self.probs))
+            yield next(self.iters[i])
+
+
+def batched(source: Iterator[Dict], batch_size: int,
+            prefetch: int = 2) -> Iterator[Dict]:
+    """Collate + background-thread prefetch (ref DataLoader workers)."""
+    from .npz_dataset import collate
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = object()
+
+    def worker():
+        batch: List[Dict] = []
+        try:
+            for item in source:
+                batch.append(item)
+                if len(batch) == batch_size:
+                    q.put(collate(batch))
+                    batch = []
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        yield item
+
+
+def write_tar_shard(path: str, samples: Sequence[Dict]) -> None:
+    """Write samples to a webdataset-format tar (test fixtures + data prep).
+
+    Each sample: {'key', 'jpg' (H,W,3 uint8 RGB), 'data' (list of per-person
+    dicts), optional 'masks' (P,H,W bool)}.
+    """
+    with tarfile.open(path, "w") as tf:
+        for s in samples:
+            key = s["key"]
+            ok, enc = cv2.imencode(".jpg", s["jpg"][:, :, ::-1])
+            assert ok
+            _add_bytes(tf, f"{key}.jpg", enc.tobytes())
+            _add_bytes(tf, f"{key}.data.pyd", pickle.dumps(s["data"]))
+            if "masks" in s:
+                bio = io.BytesIO()
+                np.savez(bio, masks=s["masks"])
+                _add_bytes(tf, f"{key}.detection.npz", bio.getvalue())
+
+
+def _add_bytes(tf: tarfile.TarFile, name: str, data: bytes) -> None:
+    info = tarfile.TarInfo(name)
+    info.size = len(data)
+    tf.addfile(info, io.BytesIO(data))

@@ -79,3 +79,76 @@ def make_eval_step(cfg: TokenHMRConfig, smpl_model, frozen) -> Callable:
         return forward_step(params, frozen, cfg, smpl_model, batch["img"], train=False)
 
     return eval_step
+
+
+def make_adversarial_train_step(
+    cfg: TokenHMRConfig,
+    smpl_model,
+    frozen: Dict[str, Any],
+    optimizer: optax.GradientTransformation,
+    disc_optimizer: optax.GradientTransformation,
+    loss_weights: Optional[Dict[str, float]] = None,
+    loose_sup: bool = True,
+    loose_weight: float = 0.05,
+    adv_weight: float = 0.0005,
+) -> Callable:
+    """Generator + discriminator joint step (ref tokenhmr.py:340-419 with
+    LOSS_WEIGHTS.ADVERSARIAL > 0).  The mocap batch supplies real poses.
+
+    One jitted program updates both players (the reference runs two separate
+    backward passes through Lightning manual optimization).
+    """
+    from ..models.discriminator import (
+        Discriminator, discriminator_losses, generator_adv_loss,
+    )
+    from ..ops.rotations import axis_angle_to_matrix
+
+    lw = loss_weights or {}
+    disc = Discriminator()
+
+    def train_step(params, disc_params, opt_state, disc_opt_state,
+                   batch, mocap_batch, rng):
+        r_dp, r_do = jax.random.split(rng)
+
+        def gen_loss_fn(p):
+            out = forward_step(
+                p, frozen, cfg, smpl_model, batch["img"], train=True,
+                rngs={"drop_path": r_dp, "dropout": r_do},
+            )
+            total, losses = compute_tokenhmr_loss(
+                out, batch, lw, loose_sup=loose_sup, loose_weight=loose_weight,
+            )
+            pred_bp = out["pred_smpl_params"]["body_pose"]
+            pred_betas = out["pred_smpl_params"]["betas"]
+            disc_out = disc.apply({"params": disc_params}, pred_bp, pred_betas)
+            adv = generator_adv_loss(disc_out)
+            total = total + adv_weight * adv
+            losses["adv_gen"] = adv
+            return total, (losses, pred_bp, pred_betas)
+
+        (_, (losses, pred_bp, pred_betas)), grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True
+        )(params)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+
+        # discriminator update on (fake = detached preds, real = mocap)
+        gt_bp = axis_angle_to_matrix(mocap_batch["body_pose"].reshape(-1, 23, 3))
+
+        def disc_loss_fn(dp):
+            fake = disc.apply({"params": dp},
+                              jax.lax.stop_gradient(pred_bp),
+                              jax.lax.stop_gradient(pred_betas))
+            real = disc.apply({"params": dp}, gt_bp, mocap_batch["betas"])
+            return discriminator_losses(fake, real)
+
+        d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(disc_params)
+        d_updates, new_d_opt = disc_optimizer.update(
+            d_grads, disc_opt_state, disc_params
+        )
+        new_disc_params = optax.apply_updates(disc_params, d_updates)
+        losses["adv_disc"] = d_loss
+        losses["grad_norm"] = optax.global_norm(grads)
+        return new_params, new_disc_params, new_opt, new_d_opt, losses
+
+    return train_step

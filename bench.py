@@ -40,6 +40,13 @@ def main():
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
 
     cfg, frozen, smpl_model, params, _ = G._flagship(batch_size=batch_size)
+    if os.environ.get("BENCH_BF16_PARAMS", "0") == "1":
+        # store weights in bf16: halves weight HBM traffic, removes the
+        # per-layer f32->bf16 cast; accuracy impact is within bf16 compute
+        # noise since activations are already bf16
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params)
 
     mean = jnp.asarray(MEAN)
     std = jnp.asarray(STD)

@@ -222,3 +222,26 @@ class TestTokenHMR:
         out = T.forward_step(params2, frozen, cfg2, smpl_model, img)
         assert out["pred_vertices"].shape == (2, 300, 3)
         assert "cls_logits_softmax" not in out
+
+
+class TestPackedAttention:
+    def test_packed_xla_matches_unpacked(self):
+        from tokenhmr_tpu.ops.attention import mha_packed_xla, mha_xla
+        rng = np.random.RandomState(0)
+        qkv = jnp.asarray(rng.randn(2, 6, 3, 4, 8).astype(np.float32))
+        out = np.asarray(mha_packed_xla(qkv, 8 ** -0.5))
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        ref = np.asarray(mha_xla(q, k, v)).transpose(0, 2, 1, 3)
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_packed_vjp_matches_autodiff(self):
+        from tokenhmr_tpu.ops.attention import mha_packed_xla
+        from tokenhmr_tpu.ops import attention as A
+        rng = np.random.RandomState(1)
+        qkv = jnp.asarray(rng.randn(1, 5, 3, 2, 4).astype(np.float32))
+        g = jnp.asarray(rng.randn(1, 5, 2, 4).astype(np.float32))
+        scale = 4 ** -0.5
+        _, vjp = jax.vjp(lambda x: mha_packed_xla(x, scale), qkv)
+        (ref,) = vjp(g)
+        (got,) = A._mha_packed_bwd(scale, (qkv,), g)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

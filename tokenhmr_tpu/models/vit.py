@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import mha
+from ..ops.attention import mha, mha_packed, mha_packed_xla
 
 
 @dataclasses.dataclass(frozen=True)
@@ -94,12 +94,17 @@ class ViTAttention(nn.Module):
         c = self.cfg
         B, S, C = x.shape
         head_dim = c.embed_dim // c.num_heads
+        scale = head_dim ** -0.5
         qkv = nn.Dense(3 * c.embed_dim, use_bias=c.qkv_bias, dtype=c.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, S, 3, c.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))  # (B, H, S, D)
-        o = mha(q, k, v, impl=c.attn_impl)
-        o = o.transpose(0, 2, 1, 3).reshape(B, S, C)
+        impl = c.attn_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if impl == "pallas":
+            o = mha_packed(qkv, scale)            # transpose-free kernel path
+        else:
+            o = mha_packed_xla(qkv, scale)
+        o = o.reshape(B, S, C)
         return nn.Dense(c.embed_dim, dtype=c.dtype, name="proj")(o)
 
 

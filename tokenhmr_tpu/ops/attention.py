@@ -107,6 +107,92 @@ def _mha_pallas_bwd(scale, res, g):
 _mha_pallas.defvjp(_mha_pallas_fwd, _mha_pallas_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Packed-QKV path: no (B,H,S,D) transposes.
+#
+# The qkv projection emits (B, S, 3*H*D); reshaping to (B, S, 3, H, D) is
+# free, and BlockSpec index maps slice each (b, h) program's q/k/v tiles
+# straight out of that layout — the reference's permute(2,0,3,1,4) data
+# movement (ref vit.py:115) never happens.
+# ---------------------------------------------------------------------------
+
+def _mha_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0, :, 0, 0]  # (S, D)
+    k = k_ref[0, :, 0, 0]
+    v = v_ref[0, :, 0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+    o_ref[0, :, 0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(
+        o_ref.dtype
+    )
+
+
+def _mha_packed_impl(qkv: jax.Array, scale: float) -> jax.Array:
+    """(B, S, 3, H, D) -> (B, S, H, D)."""
+    B, S, _, H, D = qkv.shape
+    qspec = pl.BlockSpec((1, S, 1, 1, D), lambda b, h: (b, 0, 0, h, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, S, 1, 1, D), lambda b, h: (b, 0, 1, h, 0),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, S, 1, 1, D), lambda b, h: (b, 0, 2, h, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_mha_packed_kernel, scale=scale),
+        grid=(B, H),
+        in_specs=[qspec, kspec, vspec],
+        out_specs=pl.BlockSpec((1, S, 1, D), lambda b, h: (b, 0, h, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, H, D), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * S * S * D,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize,
+            transcendentals=B * H * S * S,
+        ),
+    )(qkv, qkv, qkv)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def mha_packed(qkv, scale):
+    """(B, S, 3, H, D) packed qkv -> (B, S, H, D) attention output."""
+    return _mha_packed_impl(qkv, scale)
+
+
+def _mha_packed_fwd(qkv, scale):
+    return _mha_packed_impl(qkv, scale), (qkv,)
+
+
+def _mha_packed_bwd(scale, res, g):
+    (qkv,) = res
+    q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+    gt = g.transpose(0, 2, 1, 3)
+    dq, dk, dv = _mha_pallas_bwd(scale, (q, k, v), gt)
+    dqkv = jnp.stack(
+        [dq.transpose(0, 2, 1, 3), dk.transpose(0, 2, 1, 3),
+         dv.transpose(0, 2, 1, 3)], axis=2
+    )
+    return (dqkv.astype(qkv.dtype),)
+
+
+mha_packed.defvjp(_mha_packed_fwd, _mha_packed_bwd)
+
+
+def mha_packed_xla(qkv: jax.Array, scale: float) -> jax.Array:
+    """Reference path for the packed layout (CPU/tests)."""
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (B, S, H, D)
+    scores = jnp.einsum("bshd,bthd->bhst", q, k,
+                        preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(scores * scale, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhst,bthd->bshd", p, v,
+                      preferred_element_type=jnp.float32).astype(qkv.dtype)
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"

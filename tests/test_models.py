@@ -226,22 +226,42 @@ class TestTokenHMR:
 
 class TestPackedAttention:
     def test_packed_xla_matches_unpacked(self):
-        from tokenhmr_tpu.ops.attention import mha_packed_xla, mha_xla
+        from tokenhmr_tpu.ops.attention import mha_packed_xla, mha_xla, _split_packed
         rng = np.random.RandomState(0)
-        qkv = jnp.asarray(rng.randn(2, 6, 3, 4, 8).astype(np.float32))
-        out = np.asarray(mha_packed_xla(qkv, 8 ** -0.5))
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-        ref = np.asarray(mha_xla(q, k, v)).transpose(0, 2, 1, 3)
+        H, D = 4, 8
+        qkv = jnp.asarray(rng.randn(2, 6, 3 * H * D).astype(np.float32))
+        out = np.asarray(mha_packed_xla(qkv, D ** -0.5, H))
+        q, k, v = _split_packed(qkv, H)
+        ref = np.asarray(mha_xla(q, k, v)).transpose(0, 2, 1, 3).reshape(2, 6, H * D)
         np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_packed_kernel_interpret_matches_xla(self):
+        from tokenhmr_tpu.ops import attention as A
+        import functools
+        from jax.experimental import pallas as pl
+        rng = np.random.RandomState(3)
+        B, S, H, D = 2, 16, 2, 8
+        qkv = jnp.asarray(rng.randn(B, S, 3 * H * D).astype(np.float32))
+        out = pl.pallas_call(
+            functools.partial(A._mha_packed_kernel, scale=D ** -0.5,
+                              num_heads=H, head_dim=D),
+            grid=(B,),
+            in_specs=[pl.BlockSpec((1, S, 3 * H * D), lambda b: (b, 0, 0))],
+            out_specs=pl.BlockSpec((1, S, H * D), lambda b: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, S, H * D), qkv.dtype),
+            interpret=True,
+        )(qkv)
+        ref = A.mha_packed_xla(qkv, D ** -0.5, H)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
     def test_packed_vjp_matches_autodiff(self):
         from tokenhmr_tpu.ops.attention import mha_packed_xla
         from tokenhmr_tpu.ops import attention as A
         rng = np.random.RandomState(1)
-        qkv = jnp.asarray(rng.randn(1, 5, 3, 2, 4).astype(np.float32))
-        g = jnp.asarray(rng.randn(1, 5, 2, 4).astype(np.float32))
+        qkv = jnp.asarray(rng.randn(1, 5, 3 * 2 * 4).astype(np.float32))
+        g = jnp.asarray(rng.randn(1, 5, 2 * 4).astype(np.float32))
         scale = 4 ** -0.5
-        _, vjp = jax.vjp(lambda x: mha_packed_xla(x, scale), qkv)
+        _, vjp = jax.vjp(lambda x: mha_packed_xla(x, scale, 2), qkv)
         (ref,) = vjp(g)
-        (got,) = A._mha_packed_bwd(scale, (qkv,), g)
+        (got,) = A._mha_packed_bwd(scale, 2, (qkv,), g)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

@@ -150,3 +150,39 @@ class TestFilters:
         # which stays in-range but lands far from the populated bin
         extreme = np.tile(np.array([2.5, 0, 0], np.float32), 23)
         assert not F.poses_check_probable(extreme, hist)
+
+
+class TestBedlam:
+    def test_bedlam_variant_derives_keypoints(self, tmp_path):
+        from tokenhmr_tpu.data.tar_dataset import BedlamTarDataset, write_tar_shard
+        from tokenhmr_tpu.models import smpl as S
+
+        rng = np.random.RandomState(0)
+        smpl_model = S.synthetic_smpl_model(num_vertices=200, num_joints=24)
+        samples = []
+        for i in range(3):
+            img = (rng.rand(100, 120, 3) * 255).astype(np.uint8)
+            data = [{
+                "pose_cam": (rng.randn(72) * 0.2).astype(np.float32),
+                "shape": (rng.randn(11) * 0.3).astype(np.float32),
+                "trans_cam": np.array([0, 0, 5], np.float32),
+                "cam_int": np.array([[500, 0, 60], [0, 500, 50], [0, 0, 1]], np.float32),
+                "center": np.array([60.0, 50.0], np.float32),
+                "scale": np.float32(0.4),
+                "extra_info": {},
+            }]
+            samples.append({"key": f"seq_{i:04d}", "jpg": img, "data": data})
+        path = str(tmp_path / "bedlam-000000.tar")
+        write_tar_shard(path, samples)
+
+        from tokenhmr_tpu.data.tar_dataset import TarDatasetConfig
+
+        cfg = TarDatasetConfig(urls=path, dataset_name="BEDLAM", img_size=64,
+                               shuffle_buffer=1, filter_numkp=0)
+        ds = BedlamTarDataset(cfg, smpl_model)
+        it = iter(ds)
+        item = next(it)
+        assert item["img"].shape == (64, 64, 3)
+        assert item["keypoints_3d"].shape[1] == 4
+        assert item["has_smpl_params"]["body_pose"] == 1.0
+        assert np.isfinite(item["keypoints_2d"]).all()

@@ -259,6 +259,68 @@ class TarPoseDataset:
                 return
 
 
+class BedlamTarDataset(TarPoseDataset):
+    """BEDLAM tar variant (ref `bedlam_dataset_tar.py`): closeup 90-degree
+    rotation, real camera intrinsics, GT 3D keypoints from an SMPL forward
+    and GT 2D keypoints by intrinsic projection — derived BEFORE cropping.
+
+    If the annotation dict already carries 'gtkps3d' (a precompute pass),
+    the SMPL forward is skipped; else it runs host-side in numpy.
+    """
+
+    def __init__(self, cfg: TarDatasetConfig, smpl_model, **kw):
+        super().__init__(cfg, **kw)
+        self.smpl_model = smpl_model
+
+    def _split(self, sample: Dict) -> Iterator[Dict]:
+        key = sample.get("__key__", "")
+        if "closeup" in key:
+            sample = dict(sample)
+            sample["jpg"] = np.ascontiguousarray(
+                np.rot90(sample["jpg"], k=-1))  # ROTATE_90_CLOCKWISE
+        yield from super()._split(sample)
+
+    def _apply_filters(self, person: Dict) -> Optional[Dict]:
+        d = person["data"]
+        # BEDLAM annotations use pose_cam/shape/trans_cam/cam_* names
+        if "pose_cam" in d:
+            img_h, img_w = person["jpg"].shape[:2]
+            pose = np.asarray(d["pose_cam"], np.float32)[: 24 * 3]
+            betas = np.asarray(d["shape"], np.float32)[:10]
+            cam_trans = np.asarray(d.get("trans_cam", np.zeros(3)), np.float32)
+            if "cam_ext" in d:
+                cam_trans = cam_trans + np.asarray(d["cam_ext"], np.float32)[:3, 3]
+            if "cam_int" in d:
+                cam_int = np.asarray(d["cam_int"], np.float32)
+            else:
+                fl = (img_w ** 2 + img_h ** 2) ** 0.5
+                cam_int = np.array([[fl, 0, img_w / 2], [0, fl, img_h / 2],
+                                    [0, 0, 1]], np.float32)
+            if "gtkps3d" in d:
+                kp3d = np.asarray(d["gtkps3d"], np.float32)
+            else:
+                from ..models.smpl import smpl_forward_numpy
+
+                out = smpl_forward_numpy(self.smpl_model, betas[None], pose[None])
+                kp3d = out["joints"][0][:44]
+            pts = kp3d + cam_trans
+            proj = pts / pts[:, 2:3]
+            kp2d = (proj @ cam_int.T)[:, :2]
+            d = dict(d)
+            d["keypoints_2d"] = np.concatenate(
+                [kp2d, np.ones((len(kp2d), 1), np.float32)], 1)
+            d["keypoints_3d"] = np.concatenate(
+                [kp3d, np.ones((len(kp3d), 1), np.float32)], 1)
+            d["body_pose"] = pose
+            d["betas"] = betas
+            d["has_body_pose"] = np.array(1.0, np.float32)
+            d["has_betas"] = np.array(1.0, np.float32)
+            if "scale" in d and np.ndim(d["scale"]) == 0:
+                d["scale"] = np.array([d["scale"], d["scale"]], np.float32)
+            person["data"] = d
+        return super()._apply_filters(person)
+
+
 class MixedTarDataset:
     """Weighted mix of dataset streams (ref wds.RandomMix / MixedWebDataset)."""
 

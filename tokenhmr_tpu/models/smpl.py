@@ -322,6 +322,61 @@ def lbs(
 # Layer-style wrappers mirroring the reference's SMPL wrapper contract
 # ---------------------------------------------------------------------------
 
+def smpl_forward_numpy(
+    model: SMPLModel,
+    betas: np.ndarray,            # (B,) betas (N, B)
+    full_pose_aa: np.ndarray,     # (N, J*3) axis-angle
+) -> Dict[str, np.ndarray]:
+    """Pure-numpy LBS for HOST-side data pipelines (e.g. BEDLAM gt keypoint
+    derivation, ref `bedlam_dataset_tar.py:165-174`, which must run before
+    cropping and therefore cannot batch onto the device).  Single-item cost
+    is a few ms; dataloader workers parallelize it.
+    """
+    v_template = np.asarray(model.v_template)
+    shapedirs = np.asarray(model.shapedirs)
+    posedirs = np.asarray(model.posedirs)
+    J_reg = np.asarray(model.J_regressor)
+    W = np.asarray(model.lbs_weights)
+    parents = model.parents
+    N = betas.shape[0]
+    J = J_reg.shape[0]
+
+    aa = full_pose_aa.reshape(N, J, 3)
+    angle = np.linalg.norm(aa, axis=-1, keepdims=True)
+    axis = aa / np.maximum(angle, 1e-8)
+    K = np.zeros((N, J, 3, 3), np.float32)
+    K[..., 0, 1], K[..., 0, 2] = -axis[..., 2], axis[..., 1]
+    K[..., 1, 0], K[..., 1, 2] = axis[..., 2], -axis[..., 0]
+    K[..., 2, 0], K[..., 2, 1] = -axis[..., 1], axis[..., 0]
+    s = np.sin(angle)[..., None]
+    c = np.cos(angle)[..., None]
+    R = np.eye(3, dtype=np.float32) + s * K + (1 - c) * (K @ K)
+
+    v_shaped = v_template[None] + np.einsum("vdb,nb->nvd", shapedirs, betas)
+    joints = np.einsum("jv,nvd->njd", J_reg, v_shaped)
+    pose_feat = (R[:, 1:] - np.eye(3, dtype=np.float32)).reshape(N, -1)
+    v_posed = v_shaped + (pose_feat @ posedirs).reshape(N, -1, 3)
+
+    G = np.zeros((N, J, 4, 4), np.float32)
+    for j in range(J):
+        local = np.tile(np.eye(4, dtype=np.float32), (N, 1, 1))
+        local[:, :3, :3] = R[:, j]
+        if j == 0:
+            local[:, :3, 3] = joints[:, j]
+            G[:, j] = local
+        else:
+            local[:, :3, 3] = joints[:, j] - joints[:, parents[j]]
+            G[:, j] = G[:, parents[j]] @ local
+    A = G.copy()
+    A[:, :, :3, 3] -= np.einsum("njab,njb->nja", G[:, :, :3, :3], joints)
+    T = np.einsum("vj,njab->nvab", W, A)
+    verts = np.einsum("nvab,nvb->nva", T[:, :, :3, :3], v_posed) + T[:, :, :3, 3]
+    out_joints = np.einsum("jv,nvd->njd", J_reg, verts)
+    extra = verts[:, np.asarray(model.extra_vertex_ids)]
+    return {"vertices": verts,
+            "joints": np.concatenate([out_joints, extra], axis=1)}
+
+
 def smpl_forward(
     model: SMPLModel,
     betas: jax.Array,                         # (N, B)

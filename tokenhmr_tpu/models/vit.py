@@ -96,15 +96,13 @@ class ViTAttention(nn.Module):
         head_dim = c.embed_dim // c.num_heads
         scale = head_dim ** -0.5
         qkv = nn.Dense(3 * c.embed_dim, use_bias=c.qkv_bias, dtype=c.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, S, 3, c.num_heads, head_dim)
         impl = c.attn_impl
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         if impl == "pallas":
-            o = mha_packed(qkv, scale)            # transpose-free kernel path
+            o = mha_packed(qkv, scale, c.num_heads)  # transpose-free kernel
         else:
-            o = mha_packed_xla(qkv, scale)
-        o = o.reshape(B, S, C)
+            o = mha_packed_xla(qkv, scale, c.num_heads)
         return nn.Dense(c.embed_dim, dtype=c.dtype, name="proj")(o)
 
 

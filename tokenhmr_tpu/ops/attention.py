@@ -116,81 +116,95 @@ _mha_pallas.defvjp(_mha_pallas_fwd, _mha_pallas_bwd)
 # movement (ref vit.py:115) never happens.
 # ---------------------------------------------------------------------------
 
-def _mha_packed_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0, :, 0, 0]  # (S, D)
-    k = k_ref[0, :, 0, 0]
-    v = v_ref[0, :, 0, 0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
-    o_ref[0, :, 0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(
-        o_ref.dtype
-    )
+def _mha_packed_kernel(qkv_ref, o_ref, *, scale: float, num_heads: int,
+                       head_dim: int):
+    """One batch row: qkv_ref (1, S, 3*H*D) laid out [q | k | v], each of
+    H contiguous D-lane chunks.  Heads unrolled; per-head matmuls are
+    static lane slices of VMEM — no HBM transposes anywhere."""
+    HD = num_heads * head_dim
+    for h in range(num_heads):
+        q = qkv_ref[0, :, h * head_dim:(h + 1) * head_dim]
+        k = qkv_ref[0, :, HD + h * head_dim: HD + (h + 1) * head_dim]
+        v = qkv_ref[0, :, 2 * HD + h * head_dim: 2 * HD + (h + 1) * head_dim]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+        o_ref[0, :, h * head_dim:(h + 1) * head_dim] = jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
 
 
-def _mha_packed_impl(qkv: jax.Array, scale: float) -> jax.Array:
-    """(B, S, 3, H, D) -> (B, S, H, D)."""
-    B, S, _, H, D = qkv.shape
-    qspec = pl.BlockSpec((1, S, 1, 1, D), lambda b, h: (b, 0, 0, h, 0),
-                         memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((1, S, 1, 1, D), lambda b, h: (b, 0, 1, h, 0),
-                         memory_space=pltpu.VMEM)
-    vspec = pl.BlockSpec((1, S, 1, 1, D), lambda b, h: (b, 0, 2, h, 0),
-                         memory_space=pltpu.VMEM)
+def _mha_packed_impl(qkv: jax.Array, scale: float, num_heads: int) -> jax.Array:
+    """(B, S, 3*H*D) -> (B, S, H*D)."""
+    B, S, THD = qkv.shape
+    HD = THD // 3
+    D = HD // num_heads
     out = pl.pallas_call(
-        functools.partial(_mha_packed_kernel, scale=scale),
-        grid=(B, H),
-        in_specs=[qspec, kspec, vspec],
-        out_specs=pl.BlockSpec((1, S, 1, D), lambda b, h: (b, 0, h, 0),
+        functools.partial(_mha_packed_kernel, scale=scale,
+                          num_heads=num_heads, head_dim=D),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, S, THD), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, S, HD), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, S, H, D), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, S, HD), qkv.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * S * S * D,
+            flops=4 * B * num_heads * S * S * D,
             bytes_accessed=qkv.size * qkv.dtype.itemsize,
-            transcendentals=B * H * S * S,
+            transcendentals=B * num_heads * S * S,
         ),
-    )(qkv, qkv, qkv)
+    )(qkv)
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def mha_packed(qkv, scale):
-    """(B, S, 3, H, D) packed qkv -> (B, S, H, D) attention output."""
-    return _mha_packed_impl(qkv, scale)
+def _split_packed(qkv: jax.Array, num_heads: int):
+    """(B, S, 3HD) -> three (B, H, S, D)."""
+    B, S, THD = qkv.shape
+    HD = THD // 3
+    D = HD // num_heads
+    def part(i):
+        return qkv[:, :, i * HD:(i + 1) * HD].reshape(B, S, num_heads, D
+                                                      ).transpose(0, 2, 1, 3)
+    return part(0), part(1), part(2)
 
 
-def _mha_packed_fwd(qkv, scale):
-    return _mha_packed_impl(qkv, scale), (qkv,)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def mha_packed(qkv, scale, num_heads):
+    """(B, S, 3*H*D) packed qkv -> (B, S, H*D) attention output."""
+    return _mha_packed_impl(qkv, scale, num_heads)
 
 
-def _mha_packed_bwd(scale, res, g):
+def _mha_packed_fwd(qkv, scale, num_heads):
+    return _mha_packed_impl(qkv, scale, num_heads), (qkv,)
+
+
+def _mha_packed_bwd(scale, num_heads, res, g):
     (qkv,) = res
-    q = qkv[:, :, 0].transpose(0, 2, 1, 3)
-    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
-    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
-    gt = g.transpose(0, 2, 1, 3)
+    B, S, THD = qkv.shape
+    HD = THD // 3
+    D = HD // num_heads
+    q, k, v = _split_packed(qkv, num_heads)
+    gt = g.reshape(B, S, num_heads, D).transpose(0, 2, 1, 3)
     dq, dk, dv = _mha_pallas_bwd(scale, (q, k, v), gt)
-    dqkv = jnp.stack(
-        [dq.transpose(0, 2, 1, 3), dk.transpose(0, 2, 1, 3),
-         dv.transpose(0, 2, 1, 3)], axis=2
-    )
+    def unpart(t):
+        return t.transpose(0, 2, 1, 3).reshape(B, S, HD)
+    dqkv = jnp.concatenate([unpart(dq), unpart(dk), unpart(dv)], axis=-1)
     return (dqkv.astype(qkv.dtype),)
 
 
 mha_packed.defvjp(_mha_packed_fwd, _mha_packed_bwd)
 
 
-def mha_packed_xla(qkv: jax.Array, scale: float) -> jax.Array:
-    """Reference path for the packed layout (CPU/tests)."""
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (B, S, H, D)
-    scores = jnp.einsum("bshd,bthd->bhst", q, k,
-                        preferred_element_type=jnp.float32)
-    p = jax.nn.softmax(scores * scale, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhst,bthd->bshd", p, v,
-                      preferred_element_type=jnp.float32).astype(qkv.dtype)
+def mha_packed_xla(qkv: jax.Array, scale: float, num_heads: int) -> jax.Array:
+    """Reference path for the packed (B, S, 3HD) layout (CPU/tests)."""
+    B, S, THD = qkv.shape
+    HD = THD // 3
+    q, k, v = _split_packed(qkv, num_heads)
+    o = mha_xla(q, k, v, scale)
+    return o.transpose(0, 2, 1, 3).reshape(B, S, HD)
 
 
 def _on_tpu() -> bool:

@@ -1,0 +1,94 @@
+"""Device warp vs cv2 parity + visualization grid smoke tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from tokenhmr_tpu.ops import warp as W
+from tokenhmr_tpu.ops.crop import gen_crop_affine
+
+
+class TestDeviceWarp:
+    def test_matches_cv2(self):
+        rng = np.random.RandomState(0)
+        img = (rng.rand(240, 320, 3) * 255).astype(np.uint8)
+        transs = np.stack([
+            gen_crop_affine(160, 120, 180, 240, 64, 64, 1.0, 15.0),
+            gen_crop_affine(100, 100, 120, 160, 64, 64, 1.2, -20.0),
+        ]).astype(np.float32)
+        mean = np.zeros(3, np.float32)
+        std = np.ones(3, np.float32)
+        out = np.asarray(W.warp_crops_device(
+            jnp.asarray(img), jnp.asarray(transs), (64, 64), mean, std))
+        for i in range(2):
+            ref = cv2.warpAffine(img, transs[i], (64, 64),
+                                 flags=cv2.INTER_LINEAR).astype(np.float32)
+            assert np.abs(out[i] - ref).mean() < 0.5
+
+    def test_normalization_applied(self):
+        img = jnp.full((32, 32, 3), 128, jnp.uint8)
+        trans = jnp.asarray(gen_crop_affine(16, 16, 32, 32, 16, 16)[None],
+                            jnp.float32)
+        out = np.asarray(W.warp_crops_device(img, trans, (16, 16)))
+        exp = (128 - W.IMAGENET_MEAN) / W.IMAGENET_STD
+        np.testing.assert_allclose(out[0, 8, 8], exp, atol=1e-4)
+
+    def test_jit_and_out_of_bounds(self):
+        img = jnp.zeros((32, 32, 3), jnp.uint8)
+        trans = jnp.asarray(gen_crop_affine(-100, -100, 10, 10, 16, 16)[None],
+                            jnp.float32)
+        f = jax.jit(lambda i, t: W.warp_crops_device(i, t, (16, 16),
+                                                     np.zeros(3, np.float32),
+                                                     np.ones(3, np.float32)))
+        out = np.asarray(f(img, trans))
+        np.testing.assert_allclose(out, 0.0, atol=1e-6)
+
+    def test_affines_for_boxes(self):
+        aff = W.crop_affines_for_boxes(
+            np.array([[50.0, 60.0]]), np.array([100.0]), out_size=64)
+        assert aff.shape == (1, 2, 3)
+
+
+class TestVizGrid:
+    def test_batch_grid(self):
+        from tokenhmr_tpu.models import smpl as S
+        from tokenhmr_tpu.utils.viz_grid import visualize_batch_grid
+
+        model = S.synthetic_smpl_model(num_vertices=150, num_joints=24)
+        rng = np.random.RandomState(0)
+        B, H, Wd = 2, 64, 48
+        batch = {
+            "img": rng.randn(B, H, Wd, 3).astype(np.float32) * 0.5,
+            "keypoints_2d": rng.rand(B, 44, 3).astype(np.float32) - 0.5,
+        }
+        output = {
+            "pred_vertices": rng.randn(B, 150, 3).astype(np.float32) * 0.2,
+            "pred_cam_t": np.tile([[0, 0, 20]], (B, 1)).astype(np.float32),
+            "pred_keypoints_2d": rng.rand(B, 44, 2).astype(np.float32) - 0.5,
+            "focal_length": np.full((B, 2), 5000.0, np.float32),
+        }
+        grid = visualize_batch_grid(batch, output, model.faces, num_images=2)
+        assert grid.shape == (2 * H, 5 * Wd, 3)
+        assert grid.dtype == np.uint8
+
+    def test_pose_grid(self):
+        from tokenhmr_tpu.models import smpl as S
+        from tokenhmr_tpu.utils.viz_grid import visualize_pose_grid
+
+        model = S.synthetic_smpl_model(num_vertices=100, num_joints=24)
+        rng = np.random.RandomState(1)
+        gt = rng.randn(2, 100, 3).astype(np.float32) * 0.3
+        pred = gt + 0.01
+        grid = visualize_pose_grid(gt, pred, model.faces, image_size=64)
+        assert grid.shape == (128, 192, 3)
+
+
+class TestRegistry:
+    def test_factory(self):
+        from tokenhmr_tpu.data.registry import create_dataset, _REGISTRY
+
+        assert "ImageDataset" in _REGISTRY
+        with pytest.raises(KeyError, match="unknown dataset type"):
+            create_dataset("Nope")

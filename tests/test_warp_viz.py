@@ -92,3 +92,22 @@ class TestRegistry:
         assert "ImageDataset" in _REGISTRY
         with pytest.raises(KeyError, match="unknown dataset type"):
             create_dataset("Nope")
+
+
+class TestFullFramePipeline:
+    def test_serve_pipeline(self):
+        import __graft_entry__ as G
+        from tokenhmr_tpu.serve import FullFramePipeline
+
+        cfg, frozen, smpl_model, params, _ = G._flagship(batch_size=1, tiny=True)
+        pipe = FullFramePipeline(params, frozen, cfg, smpl_model, buckets=(2, 4))
+        rng = np.random.RandomState(0)
+        frame = (rng.rand(200, 300, 3) * 255).astype(np.uint8)
+        boxes = np.array([[20, 20, 120, 180], [150, 30, 260, 190],
+                          [40, 10, 90, 120]], np.float32)
+        out = pipe(frame, boxes)
+        assert out["pred_vertices"].shape[0] == 3       # sliced to true N
+        assert out["pred_cam_t_full"].shape == (3, 3)
+        assert np.isfinite(out["pred_vertices"]).all()
+        # empty boxes
+        assert pipe(frame, np.zeros((0, 4), np.float32)) == {}

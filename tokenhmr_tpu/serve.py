@@ -1,0 +1,97 @@
+"""Full-frame multi-person serving pipeline (BASELINE config 4).
+
+One jitted program: full frame + N box affines -> on-device crop-warp ->
+backbone -> head -> SMPL -> full-image cameras.  The host does JPEG decode
+and box->affine math only; the frame crosses H2D once regardless of N.
+
+The per-call crop count is padded to fixed buckets so XLA compiles a small
+number of shapes (people-per-frame varies every frame).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.smpl import SMPLModel
+from .models.tokenhmr import TokenHMRConfig, forward_step
+from .ops.crop import bbox_xyxy_to_center_scale, expand_to_aspect_ratio
+from .ops.projection import cam_crop_to_full
+from .ops.warp import crop_affines_for_boxes, warp_crops_device
+
+DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32)
+
+
+class FullFramePipeline:
+    """Callable: (frame RGB uint8, boxes xyxy) -> per-person outputs."""
+
+    def __init__(
+        self,
+        params,
+        frozen,
+        cfg: TokenHMRConfig,
+        smpl_model: SMPLModel,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+    ):
+        self.params = params
+        self.frozen = frozen
+        self.cfg = cfg
+        self.smpl = smpl_model
+        self.buckets = tuple(sorted(buckets))
+        self.crop_size = max(cfg.vit.img_size)
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _run(params, frame, affines, centers, sizes, img_wh):
+            crops = warp_crops_device(
+                frame, affines, (self.crop_size, self.crop_size)
+            )
+            out = forward_step(params, self.frozen, self.cfg, self.smpl, crops)
+            cam_full = cam_crop_to_full(
+                out["pred_cam"], centers, sizes, img_wh, self.cfg.focal_length
+            )
+            return {
+                "pred_vertices": out["pred_vertices"],
+                "pred_cam_t_full": cam_full,
+                "pred_keypoints_3d": out["pred_keypoints_3d"],
+                "pred_smpl_params": out["pred_smpl_params"],
+                "pred_cam": out["pred_cam"],
+            }
+
+        self._run = _run
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def __call__(self, frame: np.ndarray, boxes: np.ndarray) -> Dict:
+        """frame (H, W, 3) uint8 RGB; boxes (N, 4) xyxy.  Returns device
+        outputs sliced to the true N."""
+        H, W = frame.shape[:2]
+        n = len(boxes)
+        if n == 0:
+            return {}
+        centers, scales = bbox_xyxy_to_center_scale(boxes[:, :4])
+        sizes = np.array([
+            expand_to_aspect_ratio(s * 200.0, (192, 256)).max() for s in scales
+        ], np.float32)
+        affines = crop_affines_for_boxes(centers, sizes, self.crop_size)
+
+        b = self._bucket(n)
+        pad = b - n
+        if pad:
+            affines = np.concatenate([affines, np.tile(affines[-1:], (pad, 1, 1))])
+            centers = np.concatenate([centers, np.tile(centers[-1:], (pad, 1))])
+            sizes = np.concatenate([sizes, np.tile(sizes[-1:], pad)])
+        img_wh = np.tile([[W, H]], (b, 1)).astype(np.float32)
+
+        out = self._run(
+            self.params, jnp.asarray(frame), jnp.asarray(affines),
+            jnp.asarray(centers.astype(np.float32)), jnp.asarray(sizes),
+            jnp.asarray(img_wh),
+        )
+        return jax.tree_util.tree_map(lambda x: np.asarray(x[:n]), out)

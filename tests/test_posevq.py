@@ -166,3 +166,31 @@ class TestEndToEnd:
         assert float(jnp.abs(noised).max()) > 0  # some joints perturbed
         clean_frac = float(jnp.mean((noised == 0).astype(jnp.float32)))
         assert clean_frac > 0.3  # most entries untouched
+
+
+class TestQuantizerVariants:
+    def test_learned_quantizer(self, cfg):
+        codebook = jax.random.normal(jax.random.PRNGKey(0), (cfg.nb_code, cfg.code_dim))
+        x = jax.random.normal(jax.random.PRNGKey(1), (64, cfg.code_dim))
+        xq, loss, perp = PQ.vq_learned_forward(codebook, x, beta=1.0)
+        assert xq.shape == x.shape and np.isfinite(float(loss))
+        # codebook receives gradient (unlike EMA variants)
+        g = jax.grad(lambda cb: PQ.vq_learned_forward(cb, x)[1])(codebook)
+        assert float(jnp.abs(g).max()) > 0
+
+    def test_ema_variant(self, cfg):
+        state = PQ.vq_init_state(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(2), (128, cfg.code_dim))
+        xq, commit, perp, state = PQ.vq_ema_forward(state, x, jax.random.PRNGKey(3))
+        assert bool(state.initialized)
+        xq2, _, _, state2 = PQ.vq_ema_forward(state, x, jax.random.PRNGKey(4))
+        assert not np.allclose(np.asarray(state.codebook), np.asarray(state2.codebook))
+
+    def test_reset_variant(self, cfg):
+        state = PQ.vq_init_state(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(5), (128, cfg.code_dim))
+        xq, commit, perp, state = PQ.vq_reset_forward(state, x, jax.random.PRNGKey(6))
+        assert xq.shape == x.shape and np.isfinite(float(commit))
+
+    def test_registry(self):
+        assert set(PQ.QUANTIZER_FORWARDS) == {"ema_reset", "ema", "reset"}

@@ -323,6 +323,101 @@ def vq_ema_reset_forward(
 
 
 # ---------------------------------------------------------------------------
+# Other quantizer variants (ref quantize_cnn.py:134-420).  The released
+# tokenizer uses ema_reset; these complete the QUANTIZER config surface.
+# ---------------------------------------------------------------------------
+
+def vq_learned_forward(
+    codebook: jax.Array,          # (K, D) — a TRAINABLE param (gets grads)
+    x: jax.Array,                 # (N, D)
+    beta: float = 1.0,
+    training: bool = True,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """'orig' learned-embedding quantizer (ref `Quantizer`, :134-196):
+    loss = ||sg[x] - e||^2 + beta * ||x - sg[e]||^2, straight-through."""
+    code_idx = vq_quantize(codebook, x)
+    x_d = vq_dequantize(codebook, code_idx)
+    loss = jnp.mean((jax.lax.stop_gradient(x) - x_d) ** 2) \
+        + beta * jnp.mean((x - jax.lax.stop_gradient(x_d)) ** 2)
+    x_out = x + jax.lax.stop_gradient(x_d - x)
+    perplexity = _perplexity(code_idx, codebook.shape[0])
+    return x_out, loss, perplexity
+
+
+def vq_ema_forward(
+    state: VQState, x: jax.Array, rng: jax.Array,
+    mu: float = 0.99, training: bool = True,
+) -> Tuple[jax.Array, jax.Array, jax.Array, VQState]:
+    """'ema' variant (ref `QuantizeEMA`, :308-420): EMA update WITHOUT the
+    dead-code random reset."""
+    N, D = x.shape
+    K = state.codebook.shape[0]
+    if training:
+        def do_init(s: VQState) -> VQState:
+            cb = _tile_to_codebook(x, K, rng)
+            return VQState(cb, cb, jnp.ones((K,), jnp.float32), jnp.asarray(True))
+        state = jax.lax.cond(state.initialized, lambda s: s, do_init, state)
+    code_idx = vq_quantize(state.codebook, x)
+    x_d = vq_dequantize(state.codebook, code_idx)
+    if training:
+        onehot_sum = jnp.zeros((K,), jnp.float32).at[code_idx].add(1.0)
+        code_sum_batch = jnp.zeros((K, D), jnp.float32).at[code_idx].add(
+            x.astype(jnp.float32))
+        new_sum = mu * state.code_sum + (1 - mu) * code_sum_batch
+        new_count = mu * state.code_count + (1 - mu) * onehot_sum
+        new_codebook = new_sum / jnp.maximum(new_count[:, None], 1e-6)
+        prob = onehot_sum / jnp.sum(onehot_sum)
+        perplexity = jnp.exp(-jnp.sum(prob * jnp.log(prob + 1e-7)))
+        new_state = VQState(new_codebook, new_sum, new_count, state.initialized)
+    else:
+        perplexity = _perplexity(code_idx, K)
+        new_state = state
+    commit = jnp.mean((x - jax.lax.stop_gradient(x_d)) ** 2)
+    return x + jax.lax.stop_gradient(x_d - x), commit, perplexity, new_state
+
+
+def vq_reset_forward(
+    state: VQState, x: jax.Array, rng: jax.Array, training: bool = True,
+) -> Tuple[jax.Array, jax.Array, jax.Array, VQState]:
+    """'reset' variant (ref `QuantizeReset`, :200-305): per-batch codebook =
+    mean of assigned vectors, unused codes reset to random batch vectors."""
+    N, D = x.shape
+    K = state.codebook.shape[0]
+    if training:
+        def do_init(s: VQState) -> VQState:
+            cb = _tile_to_codebook(x, K, rng)
+            return VQState(cb, cb, jnp.ones((K,), jnp.float32), jnp.asarray(True))
+        state = jax.lax.cond(state.initialized, lambda s: s, do_init, state)
+    code_idx = vq_quantize(state.codebook, x)
+    x_d = vq_dequantize(state.codebook, code_idx)
+    if training:
+        onehot_sum = jnp.zeros((K,), jnp.float32).at[code_idx].add(1.0)
+        code_sum_batch = jnp.zeros((K, D), jnp.float32).at[code_idx].add(
+            x.astype(jnp.float32))
+        code_rand = _tile_to_codebook(x, K, rng)
+        usage = (onehot_sum >= 1.0)[:, None]
+        new_codebook = jnp.where(
+            usage, code_sum_batch / jnp.maximum(onehot_sum[:, None], 1e-6),
+            code_rand)
+        prob = onehot_sum / jnp.sum(onehot_sum)
+        perplexity = jnp.exp(-jnp.sum(prob * jnp.log(prob + 1e-7)))
+        new_state = VQState(new_codebook, state.code_sum, onehot_sum,
+                            state.initialized)
+    else:
+        perplexity = _perplexity(code_idx, K)
+        new_state = state
+    commit = jnp.mean((x - jax.lax.stop_gradient(x_d)) ** 2)
+    return x + jax.lax.stop_gradient(x_d - x), commit, perplexity, new_state
+
+
+QUANTIZER_FORWARDS = {
+    "ema_reset": vq_ema_reset_forward,
+    "ema": vq_ema_forward,
+    "reset": vq_reset_forward,
+}
+
+
+# ---------------------------------------------------------------------------
 # Top-level tokenizer
 # ---------------------------------------------------------------------------
 

@@ -128,6 +128,8 @@ def main(argv=None):
     p.add_argument("--no-loose-sup", dest="loose_sup", action="store_false")
     p.add_argument("--checkpoint-steps", type=int, default=2000)
     p.add_argument("--log-steps", type=int, default=100)
+    p.add_argument("--render-steps", type=int, default=0,
+                   help="save a prediction grid PNG every N steps (0=off)")
     p.add_argument("--prefetch", type=int, default=2)
     p.add_argument("--n-fsdp", type=int, default=1)
     p.add_argument("--n-model", type=int, default=1)
@@ -261,6 +263,29 @@ def main(argv=None):
                     f.write(json.dumps(m) + "\n")
                 print(f"step {step}: total={m['total']:.4f} "
                       f"({m['examples_per_sec']:.1f} ex/s)", flush=True)
+
+            if (args.render_steps and step % args.render_steps == 0
+                    and jax.process_index() == 0):
+                # prediction-grid summary (ref tensorboard_logging,
+                # tokenhmr.py:280-328) — needs a fresh eval forward
+                try:
+                    import cv2
+
+                    from tokenhmr_tpu.models.tokenhmr import forward_step as _fwd
+                    from tokenhmr_tpu.utils.viz_grid import visualize_batch_grid
+
+                    out_vis = _fwd(params, frozen, cfg, smpl_model,
+                                   batch["img"][:4])
+                    grid = visualize_batch_grid(
+                        {k: np.asarray(v[:4]) if hasattr(v, "shape") else v
+                         for k, v in batch.items() if k in ("img", "keypoints_2d")},
+                        jax.tree_util.tree_map(np.asarray, out_vis),
+                        smpl_model.faces, num_images=2)
+                    cv2.imwrite(os.path.join(args.out_dir,
+                                             f"render_{step:07d}.png"),
+                                grid[:, :, ::-1])
+                except Exception as e:
+                    print(f"render failed: {e}")
 
             if ((step + 1) % args.checkpoint_steps == 0 or stop_requested
                     or step + 1 == args.total_steps):

@@ -265,3 +265,17 @@ class TestPackedAttention:
         (ref,) = vjp(g)
         (got,) = A._mha_packed_bwd(scale, 2, (qkv,), g)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+class TestGeluVariants:
+    def test_approx_vs_exact_close(self):
+        import dataclasses
+        cfg_a = dataclasses.replace(TINY_VIT, gelu_approx=True)
+        cfg_e = dataclasses.replace(TINY_VIT, gelu_approx=False)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 48, 3))
+        params = ViT(cfg_e).init(jax.random.PRNGKey(1), x)
+        out_e = np.asarray(ViT(cfg_e).apply(params, x))
+        out_a = np.asarray(ViT(cfg_a).apply(params, x))
+        # tanh-gelu deviates by ~1e-3 relative on activations
+        denom = np.abs(out_e).mean()
+        assert np.abs(out_a - out_e).mean() / denom < 5e-3

@@ -42,6 +42,11 @@ class ViTConfig:
     attn_impl: str = "auto"                  # auto | pallas | xla
     remat: bool = False                      # jax.checkpoint each block
     scan_blocks: bool = True                 # lax.scan over the 32 blocks
+    ln_dtype: jnp.dtype = jnp.float32        # LayerNorm compute dtype
+    # tanh-approx GELU: the exact erf lowers to a ~300-op f32 polynomial on
+    # the (B,S,5120) MLP hidden (measured ~2x MLP-fusion bloat on v5e);
+    # approx error ~1e-3 relative.  Set False for bit-strict torch parity.
+    gelu_approx: bool = True
 
     @property
     def grid_hw(self) -> Tuple[int, int]:
@@ -113,7 +118,7 @@ class ViTMlp(nn.Module):
     def __call__(self, x):
         c = self.cfg
         h = nn.Dense(int(c.embed_dim * c.mlp_ratio), dtype=c.dtype, name="fc1")(x)
-        h = nn.gelu(h, approximate=False)
+        h = nn.gelu(h, approximate=c.gelu_approx)
         return nn.Dense(c.embed_dim, dtype=c.dtype, name="fc2")(h)
 
 
@@ -147,10 +152,10 @@ class _ScanViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, dp_rate):
         c = self.cfg
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x).astype(c.dtype)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=c.ln_dtype, name="norm1")(x).astype(c.dtype)
         h = ViTAttention(c, name="attn")(h)
         x = x + _traced_drop_path(self, h, dp_rate)
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x).astype(c.dtype)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=c.ln_dtype, name="norm2")(x).astype(c.dtype)
         h = ViTMlp(c, name="mlp")(h)
         x = x + _traced_drop_path(self, h, dp_rate)
         return x, None

@@ -137,13 +137,42 @@ def _mha_packed_kernel(qkv_ref, o_ref, *, scale: float, num_heads: int,
         ).astype(o_ref.dtype)
 
 
+def _mha_packed_kernel_batched(qkv_ref, o_ref, *, scale: float,
+                               num_heads: int, head_dim: int):
+    """Variant: materialize (H, S, D) once in VMEM, then ONE batched
+    dot_general per QK^T / PV instead of H sequential small matmuls."""
+    HD = num_heads * head_dim
+    S = qkv_ref.shape[1]
+    def heads(x):   # (S, HD) -> (H, S, D)
+        return x.reshape(S, num_heads, head_dim).transpose(1, 0, 2)
+    q = heads(qkv_ref[0, :, :HD])
+    k = heads(qkv_ref[0, :, HD:2 * HD])
+    v = heads(qkv_ref[0, :, 2 * HD:])
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale                                             # (H, S, S)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+    o = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )                                                     # (H, S, D)
+    o_ref[0] = o.transpose(1, 0, 2).reshape(S, HD).astype(o_ref.dtype)
+
+
 def _mha_packed_impl(qkv: jax.Array, scale: float, num_heads: int) -> jax.Array:
     """(B, S, 3*H*D) -> (B, S, H*D)."""
     B, S, THD = qkv.shape
     HD = THD // 3
     D = HD // num_heads
+    import os
+    # the batched variant's (S, HD)->(H, S, D) reshape is an unsupported
+    # Mosaic shape cast as of jax 0.9 — keep it opt-in for future toolchains
+    kernel = (_mha_packed_kernel_batched
+              if os.environ.get("THMR_ATTN_BATCHED", "0") == "1"
+              else _mha_packed_kernel)
     out = pl.pallas_call(
-        functools.partial(_mha_packed_kernel, scale=scale,
+        functools.partial(kernel, scale=scale,
                           num_heads=num_heads, head_dim=D),
         grid=(B,),
         in_specs=[pl.BlockSpec((1, S, THD), lambda b: (b, 0, 0),

@@ -20,6 +20,10 @@ import numpy as np
 
 from ..ops.procrustes import eval_pose
 
+# H36M joint remaps (ref tokenhmr/lib/models/tokenhmr.py:27-28)
+H36M_TO_J17 = [6, 5, 4, 1, 2, 3, 16, 15, 14, 11, 12, 13, 8, 10, 0, 7, 9]
+H36M_TO_J14 = H36M_TO_J17[:14]
+
 
 @functools.partial(jax.jit, static_argnames=("keypoint_list", "pelvis_ind"))
 def _metrics_pelvis_idx(

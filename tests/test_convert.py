@@ -260,3 +260,60 @@ class TestHeadConverter:
             self._torch_head_sd(hc), depth=2, num_mixer_blocks=4)
         assert tree_shapes(ref) == tree_shapes(converted)
         assert init["init_cam"].shape == (3,)
+
+
+class TestDecoderNumericParity:
+    def test_cross_attn_layer_matches_torch(self):
+        """Converted decoder weights reproduce the reference transformer
+        layer math (pose_transformer.py:160-201) exactly."""
+        dec = DecoderConfig(dim=16, depth=1, heads=2, dim_head=8, mlp_dim=16,
+                            context_dim=24)
+        hc = TokenHeadConfig(token_num=4, token_class_num=8, decoder=dec,
+                             hidden_dim=4, hidden_inter_dim=8, token_inter_dim=4)
+        helper = TestHeadConverter()
+        sd = helper._torch_head_sd(hc, seed=3)
+        converted, _ = CV.convert_token_head_state_dict(
+            sd, depth=1, num_mixer_blocks=hc.num_mixer_blocks)
+
+        from tokenhmr_tpu.models.transformer import TransformerDecoder
+        tr = TransformerDecoder(dec)
+        rng = np.random.RandomState(0)
+        tok = torch.zeros(2, 1, 1)
+        ctx = torch.from_numpy(rng.randn(2, 5, 24).astype(np.float32))
+        out = np.asarray(tr.apply(
+            {"params": converted["transformer"]},
+            jnp.asarray(tok.numpy()), jnp.asarray(ctx.numpy())))
+
+        # torch reference
+        w = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+        def lin(x, key, bias=True):
+            out = x @ w[f"{key}.weight"].T
+            return out + w[f"{key}.bias"] if bias else out
+        def ln(x, key):
+            return torch.nn.functional.layer_norm(
+                x, (x.shape[-1],), w[f"{key}.weight"], w[f"{key}.bias"])
+        x = lin(tok, "transformer.to_token_embedding")
+        x = x + w["transformer.pos_embedding"]
+        L = "transformer.transformer.layers.0"
+        inner = dec.heads * dec.dim_head
+        def attn(q, k, v, H, Dh):
+            B, N = q.shape[:2]
+            T = k.shape[1]
+            q = q.reshape(B, N, H, Dh).permute(0, 2, 1, 3)
+            k = k.reshape(B, T, H, Dh).permute(0, 2, 1, 3)
+            v = v.reshape(B, T, H, Dh).permute(0, 2, 1, 3)
+            a = torch.softmax(q @ k.transpose(-1, -2) * Dh ** -0.5, -1)
+            return (a @ v).permute(0, 2, 1, 3).reshape(B, N, H * Dh)
+        h = ln(x, f"{L}.0.norm")
+        qkv = lin(h, f"{L}.0.fn.to_qkv", bias=False)
+        q, k, v = qkv.chunk(3, -1)
+        x = x + lin(attn(q, k, v, dec.heads, dec.dim_head), f"{L}.0.fn.to_out.0")
+        h = ln(x, f"{L}.1.norm")
+        kv = lin(ctx, f"{L}.1.fn.to_kv", bias=False)
+        k, v = kv.chunk(2, -1)
+        q = lin(h, f"{L}.1.fn.to_q", bias=False)
+        x = x + lin(attn(q, k, v, dec.heads, dec.dim_head), f"{L}.1.fn.to_out.0")
+        h = ln(x, f"{L}.2.norm")
+        h = torch.nn.functional.gelu(lin(h, f"{L}.2.fn.net.0"))
+        x = x + lin(h, f"{L}.2.fn.net.3")
+        np.testing.assert_allclose(out, x.numpy(), atol=2e-5)

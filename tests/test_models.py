@@ -279,3 +279,42 @@ class TestGeluVariants:
         # tanh-gelu deviates by ~1e-3 relative on activations
         denom = np.abs(out_e).mean()
         assert np.abs(out_a - out_e).mean() / denom < 5e-3
+
+
+class TestTokenLossTraining:
+    def test_train_step_with_computed_gt_tokens(self):
+        import optax
+        from tokenhmr_tpu.train.train_step import make_optimizer, make_train_step
+        from tokenhmr_tpu.models import smpl as S
+        from tokenhmr_tpu.ops.rotations import axis_angle_to_matrix
+
+        cfg = T.TokenHMRConfig(vit=TINY_VIT, head=TINY_HEAD, posevq=TINY_PQ)
+        frozen = _tiny_frozen()
+        smpl_model = S.synthetic_smpl_model(num_vertices=200, num_joints=24)
+        params = T.init_tokenhmr(jax.random.PRNGKey(0), cfg, frozen)
+        opt = make_optimizer(1e-4)
+        step = jax.jit(make_train_step(
+            cfg, smpl_model, frozen, opt, token_loss_weight=0.1,
+            compute_gt_tokens=True))
+        rng = np.random.RandomState(0)
+        B = 2
+        rm = np.asarray(axis_angle_to_matrix(
+            jnp.asarray(rng.randn(B, 24, 3).astype(np.float32) * 0.2)))
+        batch = {
+            "img": jnp.asarray(rng.randn(B, 64, 48, 3).astype(np.float32)),
+            "keypoints_2d": jnp.asarray(rng.rand(B, 44, 3).astype(np.float32)),
+            "keypoints_3d": jnp.asarray(rng.rand(B, 44, 4).astype(np.float32)),
+            "smpl_params": {
+                "global_orient": jnp.asarray(rm[:, :1]),
+                "body_pose": jnp.asarray(rm[:, 1:]),
+                "betas": jnp.zeros((B, 10)),
+            },
+            "has_smpl_params": {
+                "global_orient": jnp.ones(B), "body_pose": jnp.ones(B),
+                "betas": jnp.ones(B),
+            },
+            "valid_3d": jnp.ones(B),
+        }
+        p2, o2, metrics = step(params, opt.init(params), batch, jax.random.PRNGKey(1))
+        assert "token" in metrics and np.isfinite(float(metrics["token"]))
+        assert float(metrics["token"]) > 0

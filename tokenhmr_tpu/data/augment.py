@@ -317,6 +317,7 @@ def get_example(
     rng: Optional[np.random.Generator] = None,
     flip_kp_permutation: List[int] = FLIP_KEYPOINT_PERMUTATION,
     return_trans: bool = False,
+    use_antialias: bool = False,
 ):
     """Returns (img_patch (H,W,3) float32 normalized, kp2d, kp3d,
     smpl_params, has_smpl_params, img_size).  NHWC layout (the reference
@@ -344,6 +345,14 @@ def get_example(
     keypoints_3d = keypoint_3d_processing(
         keypoints_3d, flip_kp_permutation, aug.rot, aug.do_flip
     )
+
+    if use_antialias and cv2 is not None:
+        # gaussian pre-blur when heavily downsampling (ref utils.py:594-598
+        # use_skimage_antialias; sigma=(factor-1)/2)
+        factor = patch_width / max(width * aug.scale, 1e-6)
+        if factor > 1.1:
+            sigma = (factor - 1) / 2
+            img = cv2.GaussianBlur(img, (0, 0), sigmaX=sigma, sigmaY=sigma)
 
     patch, trans = generate_image_patch(
         img, center_x, center_y, width, height, patch_width, patch_height,

@@ -42,10 +42,28 @@ def make_train_step(
     loose_sup: bool = True,
     loose_weight: float = 0.05,
     token_loss_weight: float = 0.0,
+    compute_gt_tokens: bool = False,
 ) -> Callable:
     """Returns train_step(params, opt_state, batch, rng) ->
-    (params, opt_state, metrics)."""
+    (params, opt_state, metrics).
+
+    With compute_gt_tokens=True and token_loss_weight>0, ground-truth token
+    ids are derived inside the step by running the FROZEN PoseVQ encoder on
+    the gt body pose (the PCT training recipe: `Img -> Classifier -> class`
+    vs `Joints -> Encoder -> gt class`, ref token_classifier.py:36-39) —
+    no host-side token precompute needed.
+    """
     lw = loss_weights or {}
+
+    def _gt_tokens_from_pose(batch):
+        from ..models.posevq import posevq_encode
+        from ..ops.rotations import matrix_to_rotation_6d
+
+        gt_bp = batch["smpl_params"]["body_pose"][:, :21]     # (B, 21, 3, 3)
+        gt_6d = matrix_to_rotation_6d(gt_bp)
+        return jax.lax.stop_gradient(
+            posevq_encode(frozen["params"], cfg.posevq, frozen["vq_state"], gt_6d)
+        )
 
     def train_step(params, opt_state, batch, rng):
         r_dp, r_do = jax.random.split(rng)
@@ -58,10 +76,20 @@ def make_train_step(
             total, losses = compute_tokenhmr_loss(
                 out, batch, lw, loose_sup=loose_sup, loose_weight=loose_weight,
             )
-            if token_loss_weight > 0 and "gt_tokens" in batch:
-                tl = token_loss(out["cls_logits_softmax"], batch["gt_tokens"])
-                total = total + token_loss_weight * tl
-                losses["token"] = tl
+            if token_loss_weight > 0:
+                if "gt_tokens" in batch:
+                    gt_tokens = batch["gt_tokens"]
+                elif compute_gt_tokens:
+                    gt_tokens = _gt_tokens_from_pose(batch)
+                else:
+                    gt_tokens = None
+                if gt_tokens is not None:
+                    tl = token_loss(out["cls_logits_softmax"], gt_tokens)
+                    # gate by pose validity: tokens from absent gt are noise
+                    has = batch["has_smpl_params"]["body_pose"]
+                    tl = tl * jnp.mean(has)
+                    total = total + token_loss_weight * tl
+                    losses["token"] = tl
             return total, losses
 
         (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

@@ -58,6 +58,7 @@ def main(argv=None):
     from tokenhmr_tpu.utils.render import overlay_mesh_on_image, save_obj
 
     # model
+    mean_params = None
     if args.tiny or args.checkpoint is None:
         import __graft_entry__ as G
 
@@ -77,7 +78,8 @@ def main(argv=None):
 
     @jax.jit
     def model_forward(params, img):
-        return forward_step(params, frozen, cfg, smpl_model, img)
+        return forward_step(params, frozen, cfg, smpl_model, img,
+                            mean_params=mean_params)
 
     detector = make_detector(args.detector, args.boxes_file)
     os.makedirs(args.out_folder, exist_ok=True)

@@ -79,6 +79,7 @@ def main(argv=None):
     from tokenhmr_tpu.utils.evaluator import Evaluator
 
     # --- model assembly ---------------------------------------------------
+    mean_params = None
     if args.synthetic_weights or args.tiny:
         import __graft_entry__ as G
 
@@ -89,7 +90,7 @@ def main(argv=None):
     else:
         from tokenhmr_tpu.convert.load import load_tokenhmr_checkpoint
 
-        cfg, params, frozen, _mean = load_tokenhmr_checkpoint(
+        cfg, params, frozen, mean_params = load_tokenhmr_checkpoint(
             args.checkpoint, tokenizer_path=args.tokenizer_checkpoint
         )
         smpl_model = S.load_smpl_model(
@@ -103,7 +104,8 @@ def main(argv=None):
 
     @jax.jit
     def model_forward(params, img):
-        return forward_step(params, frozen, cfg, smpl_model, img)
+        return forward_step(params, frozen, cfg, smpl_model, img,
+                            mean_params=mean_params)
 
     for dataset_name in args.dataset.split(","):
         ds_cfg = EVAL_DATASETS[dataset_name]

@@ -54,6 +54,7 @@ def main(argv=None):
     from tokenhmr_tpu.track import IoUTracker
     from tokenhmr_tpu.utils.render import overlay_mesh_on_image
 
+    mean_params = None
     if args.tiny or args.checkpoint is None:
         import __graft_entry__ as G
 
@@ -62,7 +63,7 @@ def main(argv=None):
         from tokenhmr_tpu.convert.load import load_tokenhmr_checkpoint
         from tokenhmr_tpu.models import smpl as S
 
-        cfg, params, frozen, _ = load_tokenhmr_checkpoint(
+        cfg, params, frozen, mean_params = load_tokenhmr_checkpoint(
             args.checkpoint, tokenizer_path=args.tokenizer_checkpoint)
         smpl_model = S.load_smpl_model(args.smpl_model)
 
@@ -70,7 +71,8 @@ def main(argv=None):
 
     @jax.jit
     def model_forward(params, img):
-        out = forward_step(params, frozen, cfg, smpl_model, img)
+        out = forward_step(params, frozen, cfg, smpl_model, img,
+                           mean_params=mean_params)
         return (out["pred_vertices"], out["pred_cam"],
                 out["pred_smpl_params"]["betas"],
                 out["pred_smpl_params"]["body_pose"])

@@ -167,7 +167,10 @@ def _traced_drop_path(mod: nn.Module, x, rate):
     keep = 1.0 - rate
     rng = mod.make_rng("drop_path")
     mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
-    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+    # keep is a traced f32; divide in x.dtype so the scan carry dtype is
+    # stable (bf16 activations would otherwise promote to f32)
+    scaled = x / keep.astype(x.dtype)
+    return jnp.where(mask, scaled, jnp.zeros_like(x))
 
 
 class ViT(nn.Module):

@@ -59,9 +59,10 @@ def synthetic_batch_iter(batch_size, img_hw, rng_seed=0):
         }
 
 
-def tar_batch_iter(args, img_size):
+def tar_batch_iter(args, img_size, smpl_model=None):
     from tokenhmr_tpu.data.tar_dataset import (
-        MixedTarDataset, TarDatasetConfig, TarPoseDataset, batched,
+        BedlamTarDataset, MixedTarDataset, TarDatasetConfig, TarPoseDataset,
+        batched,
     )
     from tokenhmr_tpu.ops.rotations import axis_angle_to_matrix
     from tokenhmr_tpu.utils.configs import TRAIN_DATASET_WEIGHTS
@@ -77,8 +78,14 @@ def tar_batch_iter(args, img_size):
             dataset_name=name, train=True, img_size=img_size,
             amass_hist_path=args.amass_hist,
         )
-        streams.append(TarPoseDataset(
-            cfg, jax.process_index(), jax.process_count()))
+        is_bedlam = entry.get("type", "").lower() == "bedlam" or name == "BEDLAM"
+        if is_bedlam and smpl_model is not None:
+            streams.append(BedlamTarDataset(
+                cfg, smpl_model, process_index=jax.process_index(),
+                process_count=jax.process_count()))
+        else:
+            streams.append(TarPoseDataset(
+                cfg, jax.process_index(), jax.process_count()))
         names.append(name)
         weights.append(entry.get("weight", 1.0))
     mixed = MixedTarDataset(streams, weights)
@@ -218,7 +225,7 @@ def main(argv=None):
             batches = synthetic_batch_iter(
                 args.batch_size, (max(img_hw), max(img_hw)))
         else:
-            batches = tar_batch_iter(args, max(img_hw))
+            batches = tar_batch_iter(args, max(img_hw), smpl_model)
 
         # --- checkpoint / resume ----------------------------------------
         ckpt = CheckpointManager(args.out_dir)

@@ -27,7 +27,7 @@ try:
 except ImportError:  # pragma: no cover
     cv2 = None
 
-from ..ops.crop import expand_to_aspect_ratio, gen_crop_affine
+from ..ops.crop import gen_crop_affine
 
 DEFAULT_MEAN = 255.0 * np.array([0.485, 0.456, 0.406], np.float32)
 DEFAULT_STD = 255.0 * np.array([0.229, 0.224, 0.225], np.float32)

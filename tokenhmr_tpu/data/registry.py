@@ -7,7 +7,7 @@ configs can say `TYPE: ImageDataset` and get the right class.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Callable, Dict
 
 _REGISTRY: Dict[str, Callable] = {}
 

@@ -20,7 +20,7 @@ token_size_mul 4 / div 4 -> 160 tokens over 21 joints in 6D.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import flax.linen as nn
 import jax

@@ -21,7 +21,7 @@ vertices for the kinematic tree, and the output joint set is
 from __future__ import annotations
 
 import pickle
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
 import jax

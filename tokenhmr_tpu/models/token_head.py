@@ -13,7 +13,7 @@ weak-persp cam, and the softmaxed token logits for the token CE loss.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import flax.linen as nn
 import jax

@@ -10,7 +10,7 @@ framework boundary between backbone, head, tokenizer proxy and smplx).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,8 +12,6 @@ plain LayerNorm (`norm: layer`), and conditional norm was dead code there.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

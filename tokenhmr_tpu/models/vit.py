@@ -16,14 +16,14 @@ TPU-native differences:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import mha, mha_packed, mha_packed_xla
+from ..ops.attention import mha_packed, mha_packed_xla
 
 
 @dataclasses.dataclass(frozen=True)

@@ -10,7 +10,7 @@ number of shapes (people-per-frame varies every frame).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.rotations import axis_angle_to_matrix, joint_angle_error
+from ..ops.rotations import joint_angle_error
 
 # ref losses.py:7-14 — per-keypoint squared-2D-error validity thresholds (44 kp)
 KP2D_ERR_VALID_THRESH = np.array(

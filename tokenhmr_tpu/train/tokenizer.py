@@ -15,16 +15,14 @@ host per item.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..models.posevq import (
-    PoseVQConfig, VQState, posevq_forward_train, vq_init_state,
-)
+from ..models.posevq import PoseVQConfig, VQState, posevq_forward_train
 from ..models.smpl import SMPLModel, smplh_body_forward
 from ..ops.rotations import rotation_6d_to_matrix, so3_rotation_angle
 

@@ -9,7 +9,7 @@ gradient all-reduce over ICI (SURVEY.md §2.8).
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ JAX-native: the optimization loop is a jitted lax.fori_loop over optax adam
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import flax.linen as nn
 import jax

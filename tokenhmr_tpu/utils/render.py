@@ -7,7 +7,7 @@ shading (visualization is off the accelerator path by design — SURVEY §2.9).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

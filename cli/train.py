@@ -164,6 +164,13 @@ def main(argv=None):
 
     # --- model -----------------------------------------------------------
     cfg, frozen, smpl_model, params, _ = G._flagship(batch_size=1, tiny=args.tiny)
+    if not args.tiny:
+        # rematerialize ViT blocks in the backward pass: without it the
+        # scan saves every layer's (B,192,5120) MLP hidden and a B=48 step
+        # needs ~35 GB HBM (measured) vs 16 GB on v5e
+        import dataclasses as dc
+
+        cfg = dc.replace(cfg, vit=dc.replace(cfg.vit, remat=True))
     if args.tokenizer_checkpoint:
         from tokenhmr_tpu.convert.load import load_tokenizer_checkpoint
         import dataclasses as dc

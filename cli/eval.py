@@ -102,9 +102,13 @@ def main(argv=None):
     gt_verts = GTVertexComputer(male, female)
     J24 = np.asarray(smpl_model.J_regressor)[:24]
 
-    @jax.jit
-    def model_forward(params, img):
-        return forward_step(params, frozen, cfg, smpl_model, img,
+    import dataclasses as dc
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("use_hips",))
+    def model_forward(params, img, use_hips=False):
+        c = dc.replace(cfg, update_hips=use_hips) if use_hips else cfg
+        return forward_step(params, frozen, c, smpl_model, img,
                             mean_params=mean_params)
 
     for dataset_name in args.dataset.split(","):
@@ -129,7 +133,7 @@ def main(argv=None):
         n_batches = 0
         for i, batch in enumerate(loader):
             batch = gt_verts(batch)
-            out = model_forward(params, jnp.asarray(batch["img"]))
+            out = model_forward(params, jnp.asarray(batch["img"]), use_hips=ds_cfg.get("use_hips", False))
             evaluator(out, batch)
             n_batches = i + 1
             if i % args.log_freq == args.log_freq - 1:

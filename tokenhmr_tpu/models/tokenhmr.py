@@ -31,6 +31,8 @@ class TokenHMRConfig:
     head_type: str = "token"            # token | transformer_decoder (HMR2)
     focal_length: float = 5000.0        # EXTRA.FOCAL_LENGTH
     image_size: float = 256.0           # MODEL.IMAGE_SIZE
+    update_hips: bool = False           # H36M USE_HIPS protocol (ref
+                                        # smpl_wrapper.py:33-36)
 
 
 class FrozenTokenizer(dict):
@@ -115,6 +117,7 @@ def forward_step(
         pred_smpl_params["betas"],
         pred_smpl_params["global_orient"],
         pred_smpl_params["body_pose"],
+        update_hips=cfg.update_hips,
     )
     kp3d = smpl_out["joints"]
     kp2d = proj.perspective_projection(kp3d, pred_cam_t, focal / cfg.image_size)

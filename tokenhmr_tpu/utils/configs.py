@@ -36,6 +36,7 @@ EVAL_DATASETS: Dict[str, Dict[str, Any]] = {
         "keypoint_list": [25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 36, 37, 43],
         "pelvis_ind": 39,
         "protocol": "pelvis_idx",
+        "use_hips": True,
     },
     "COCO-VAL": {
         "dataset_file": "coco_val.npz",

@@ -113,6 +113,10 @@ def main(argv=None):
         crops_np = np.stack(crops)
         box_sizes = np.asarray(box_sizes, np.float32)
 
+        # full-image focal: FOCAL/IMAGE_SIZE * max(H, W) — the same scaled
+        # value must drive BOTH cam_crop_to_full and the renderer
+        # (ref demo.py:84-85)
+        scaled_focal = cfg.focal_length / crop_size * max(H, W)
         all_verts, all_cam_t = [], []
         for s0 in range(0, len(crops_np), args.batch_size):
             out = model_forward(params, jnp.asarray(crops_np[s0:s0 + args.batch_size]))
@@ -121,7 +125,7 @@ def main(argv=None):
                 jnp.asarray(centers[s0:s0 + args.batch_size]),
                 jnp.asarray(box_sizes[s0:s0 + args.batch_size]),
                 jnp.asarray(np.tile([[W, H]], (len(out["pred_cam"]), 1)), jnp.float32),
-                focal_length=cfg.focal_length,
+                focal_length=scaled_focal,
             )
             all_verts.append(np.asarray(out["pred_vertices"]))
             all_cam_t.append(np.asarray(cam_full))
@@ -130,7 +134,6 @@ def main(argv=None):
 
         base = os.path.splitext(os.path.basename(img_path))[0]
         composite = img.copy()
-        scaled_focal = cfg.focal_length / crop_size * max(H, W)
         for pi in range(len(verts)):
             v_cam = verts[pi] + cam_t[pi]
             composite = overlay_mesh_on_image(

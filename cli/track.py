@@ -113,10 +113,11 @@ def main(argv=None):
                 sizes.append(size)
             verts, cams, betas, body_pose = model_forward(
                 params, jnp.asarray(np.stack(crops)))
+            scaled_focal = cfg.focal_length / crop_size * max(H, W)
             cam_full = np.asarray(cam_crop_to_full(
                 cams, jnp.asarray(centers), jnp.asarray(np.asarray(sizes, np.float32)),
                 jnp.asarray(np.tile([[W, H]], (len(crops), 1)), jnp.float32),
-                cfg.focal_length))
+                scaled_focal))
             # pose embedding for association: betas + flattened body pose
             embeds = np.concatenate(
                 [np.asarray(betas),

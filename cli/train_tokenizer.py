@@ -118,7 +118,6 @@ def main(argv=None):
     train_step = jax.jit(make_tokenizer_train_step(
         cfg, smplh, optimizer, loss_cfg, vw))
     eval_step = jax.jit(make_tokenizer_eval_step(cfg, smplh))
-    noise_fn = jax.jit(add_noise_curriculum, static_argnames=("step",))
 
     best_score = float("inf")
     t0 = time.time()

@@ -186,3 +186,61 @@ class TestBedlam:
         assert item["keypoints_3d"].shape[1] == 4
         assert item["has_smpl_params"]["body_pose"] == 1.0
         assert np.isfinite(item["keypoints_2d"]).all()
+
+    def test_bedlam_joint_order_is_openpose44(self, tmp_path):
+        """kp3d must be [25 OpenPose + 19 extra-regressor], not raw smplx
+        order — the flip tables/TALS thresholds/PELVIS_ID index OpenPose-44."""
+        from tokenhmr_tpu.data.tar_dataset import (
+            BedlamTarDataset, TarDatasetConfig, write_tar_shard)
+        from tokenhmr_tpu.models import smpl as S
+        from tokenhmr_tpu.models.smpl import smpl_openpose_forward_numpy
+
+        rng = np.random.RandomState(1)
+        smpl_model = S.synthetic_smpl_model(num_vertices=200, num_joints=24)
+        pose = (rng.randn(72) * 0.2).astype(np.float32)
+        betas = (rng.randn(11) * 0.3).astype(np.float32)
+        data = [{
+            "pose_cam": pose, "shape": betas,
+            "trans_cam": np.array([0, 0, 5], np.float32),
+            "cam_int": np.array([[500, 0, 60], [0, 500, 50], [0, 0, 1]], np.float32),
+            "center": np.array([60.0, 50.0], np.float32),
+            "scale": np.float32(0.4), "extra_info": {},
+        }]
+        img = (rng.rand(100, 120, 3) * 255).astype(np.uint8)
+        path = str(tmp_path / "b.tar")
+        write_tar_shard(path, [{"key": "seq_0", "jpg": img, "data": data}])
+        cfg = TarDatasetConfig(urls=path, dataset_name="BEDLAM", img_size=64,
+                               shuffle_buffer=1, filter_numkp=0, train=False)
+        item = next(iter(BedlamTarDataset(cfg, smpl_model)))
+        expected = smpl_openpose_forward_numpy(
+            smpl_model, betas[None, :10], pose[None])["joints"][0]
+        np.testing.assert_allclose(item["keypoints_3d"][:, :3], expected,
+                                   atol=1e-4)
+        assert item["keypoints_3d"].shape == (44, 4)
+
+    def test_bedlam_closeup_mask_rotated(self, tmp_path):
+        from tokenhmr_tpu.data.tar_dataset import (
+            BedlamTarDataset, TarDatasetConfig, write_tar_shard)
+        from tokenhmr_tpu.models import smpl as S
+
+        rng = np.random.RandomState(2)
+        smpl_model = S.synthetic_smpl_model(num_vertices=150, num_joints=24)
+        H, W = 80, 120
+        data = [{
+            "pose_cam": (rng.randn(72) * 0.1).astype(np.float32),
+            "shape": np.zeros(11, np.float32),
+            "trans_cam": np.array([0, 0, 5], np.float32),
+            "cam_int": np.array([[400, 0, 40], [0, 400, 60], [0, 0, 1]], np.float32),
+            "center": np.array([40.0, 60.0], np.float32),
+            "scale": np.float32(0.3), "extra_info": {"detection_npz_idx": 0},
+        }]
+        img = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+        masks = np.ones((1, H, W), bool)
+        path = str(tmp_path / "c.tar")
+        write_tar_shard(path, [{"key": "closeup_seq_0", "jpg": img,
+                                "data": data, "masks": masks}])
+        cfg = TarDatasetConfig(urls=path, dataset_name="BEDLAM", img_size=64,
+                               shuffle_buffer=1, filter_numkp=0, train=False)
+        # would raise a concat shape error before the mask-rotation fix
+        item = next(iter(BedlamTarDataset(cfg, smpl_model)))
+        assert item["img"].shape == (64, 64, 3)

@@ -230,9 +230,13 @@ class GTVertexComputer:
         bp = axis_angle_to_matrix(body_pose_aa.reshape(B, -1, 3))
         out_m = smpl_forward(self.male, betas, go, bp)
         out_f = smpl_forward(self.female, betas, go, bp)
+        out_n = smpl_forward(self.neutral, betas, go, bp)
         is_f = (gender == 1)[:, None, None]
-        verts = jnp.where(is_f, out_f["vertices"], out_m["vertices"])
-        joints = jnp.where(is_f, out_f["joints"], out_m["joints"])
+        is_n = (gender < 0)[:, None, None]   # genderless npz -> neutral model
+        verts = jnp.where(is_n, out_n["vertices"],
+                          jnp.where(is_f, out_f["vertices"], out_m["vertices"]))
+        joints = jnp.where(is_n, out_n["joints"],
+                           jnp.where(is_f, out_f["joints"], out_m["joints"]))
         return verts, joints
 
     def __call__(self, batch: Dict) -> Dict:

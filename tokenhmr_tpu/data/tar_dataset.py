@@ -274,11 +274,17 @@ class BedlamTarDataset(TarPoseDataset):
 
     def _split(self, sample: Dict) -> Iterator[Dict]:
         key = sample.get("__key__", "")
-        if "closeup" in key:
+        closeup = "closeup" in key
+        if closeup:
             sample = dict(sample)
             sample["jpg"] = np.ascontiguousarray(
                 np.rot90(sample["jpg"], k=-1))  # ROTATE_90_CLOCKWISE
-        yield from super()._split(sample)
+        for person in super()._split(sample):
+            if closeup:
+                # the detection mask must follow the image rotation
+                # (ref bedlam_dataset_tar.py:147-149 transposes it)
+                person["mask"] = np.ascontiguousarray(person["mask"].T)
+            yield person
 
     def _apply_filters(self, person: Dict) -> Optional[Dict]:
         d = person["data"]
@@ -299,10 +305,13 @@ class BedlamTarDataset(TarPoseDataset):
             if "gtkps3d" in d:
                 kp3d = np.asarray(d["gtkps3d"], np.float32)
             else:
-                from ..models.smpl import smpl_forward_numpy
+                from ..models.smpl import smpl_openpose_forward_numpy
 
-                out = smpl_forward_numpy(self.smpl_model, betas[None], pose[None])
-                kp3d = out["joints"][0][:44]
+                # OpenPose-44 layout — the flip permutation, TALS keypoint
+                # thresholds and PELVIS_ID all index this order
+                out = smpl_openpose_forward_numpy(
+                    self.smpl_model, betas[None], pose[None])
+                kp3d = out["joints"][0]
             pts = kp3d + cam_trans
             proj = pts / pts[:, 2:3]
             kp2d = (proj @ cam_int.T)[:, :2]

@@ -506,12 +506,13 @@ def posevq_forward_train(
 # ---------------------------------------------------------------------------
 
 SMPLX_BODY_PARTS = {
-    # 5 groups over the 21 body joints (ref tokenization/utils/skeleton.py:1-8)
-    0: [0, 3, 6, 9, 12, 15],        # spine + head chain
-    1: [1, 4, 7, 10],               # left leg
-    2: [2, 5, 8, 11],               # right leg
-    3: [13, 16, 18, 20],            # left arm
-    4: [14, 17, 19, 20],            # right arm
+    # 5 groups over the 21 body joints, root-EXCLUDED indexing
+    # (ref tokenization/utils/skeleton.py:1-8, verbatim)
+    0: [11, 14],                    # head
+    1: [12, 15, 17, 19],            # left arm
+    2: [13, 16, 18, 20],            # right arm
+    3: [0, 3, 6, 9],                # left leg
+    4: [1, 4, 7, 10],               # right leg
 }
 
 

@@ -377,6 +377,28 @@ def smpl_forward_numpy(
             "joints": np.concatenate([out_joints, extra], axis=1)}
 
 
+def smpl_openpose_forward_numpy(
+    model: SMPLModel,
+    betas: np.ndarray,
+    full_pose_aa: np.ndarray,
+) -> Dict[str, np.ndarray]:
+    """Host-side variant of `smpl_openpose_forward`: 25 OpenPose joints +
+    19 extra-regressor joints (the 44-joint layout every keypoint table —
+    flip permutation, TALS thresholds, PELVIS_ID — indexes)."""
+    out = smpl_forward_numpy(model, betas, full_pose_aa)
+    joints = out["joints"][:, SMPL_TO_OPENPOSE]
+    if model.joint_regressor_extra is None:
+        raise ValueError(
+            "smpl_openpose_forward_numpy needs joint_regressor_extra (the "
+            "SMPL_to_J19 regressor) to produce the 44-joint layout"
+        )
+    extra = np.einsum(
+        "jv,nvd->njd", np.asarray(model.joint_regressor_extra), out["vertices"]
+    )
+    return {"vertices": out["vertices"],
+            "joints": np.concatenate([joints, extra], axis=1)}
+
+
 def smpl_forward(
     model: SMPLModel,
     betas: jax.Array,                         # (N, B)

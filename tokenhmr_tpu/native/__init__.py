@@ -62,6 +62,14 @@ def _ptr(arr, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
+MAX_CHANNELS = 4  # must match kMaxChannels in warp.cpp
+
+
+def _check_channels(c: int) -> None:
+    if not 1 <= c <= MAX_CHANNELS:
+        raise ValueError(f"native warp supports 1..{MAX_CHANNELS} channels, got {c}")
+
+
 def warp_affine_u8(img: np.ndarray, trans: np.ndarray,
                    out_wh: Tuple[int, int], border_value=0) -> np.ndarray:
     """cv2.warpAffine-compatible signature (drop-in for augment backend)."""
@@ -70,6 +78,7 @@ def warp_affine_u8(img: np.ndarray, trans: np.ndarray,
     squeeze = img.ndim == 2
     if squeeze:
         img = img[:, :, None]
+    _check_channels(img.shape[2])
     dw, dh = out_wh
     dst = np.empty((dh, dw, img.shape[2]), np.uint8)
     t = np.ascontiguousarray(trans, np.float64)
@@ -93,6 +102,7 @@ def warp_normalize(
     lib = get_lib()
     img = np.ascontiguousarray(img)
     C = img.shape[2]
+    _check_channels(C)
     dh, dw = out_hw
     cs = np.ascontiguousarray(color_scale, np.float32)
     mn = np.ascontiguousarray(mean, np.float32)

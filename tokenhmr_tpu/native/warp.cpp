@@ -20,6 +20,8 @@
 
 namespace {
 
+constexpr int kMaxChannels = 4;
+
 struct Affine {
   double a00, a01, a02, a10, a11, a12;
 };
@@ -53,7 +55,7 @@ inline void warp_row_normalize(
     const int y0 = (int)std::floor(fy);
     const float ax = (float)(fx - x0);
     const float ay = (float)(fy - y0);
-    float px[4] = {0, 0, 0, 0};  // up to 4 channels
+    float px[kMaxChannels] = {0, 0, 0, 0};
     // gather 4 neighbors with constant(0) border
     const bool in00 = (unsigned)x0 < (unsigned)sw && (unsigned)y0 < (unsigned)sh;
     const bool in01 = (unsigned)(x0 + 1) < (unsigned)sw && (unsigned)y0 < (unsigned)sh;
@@ -117,6 +119,7 @@ void warp_affine_normalize_u8(
     const uint8_t* src, int sh, int sw, int channels,
     const double* trans, float* dst, int dh, int dw,
     const float* color_scale, const float* mean, const float* inv_std) {
+  if (channels < 1 || channels > kMaxChannels) return;  // caller validates
   Affine m{trans[0], trans[1], trans[2], trans[3], trans[4], trans[5]};
   Affine inv = invert(m);
   for (int y = 0; y < dh; ++y) {
@@ -145,6 +148,7 @@ void warp_affine_normalize_batch_u8(
 void warp_affine_u8(
     const uint8_t* src, int sh, int sw, int channels,
     const double* trans, uint8_t* dst, int dh, int dw) {
+  if (channels < 1 || channels > kMaxChannels) return;  // caller validates
   Affine m{trans[0], trans[1], trans[2], trans[3], trans[4], trans[5]};
   Affine inv = invert(m);
   std::vector<float> id_scale(channels, 1.0f);

@@ -44,13 +44,13 @@ class FullFramePipeline:
         self.crop_size = max(cfg.vit.img_size)
 
         @functools.partial(jax.jit, static_argnames=())
-        def _run(params, frame, affines, centers, sizes, img_wh):
+        def _run(params, frame, affines, centers, sizes, img_wh, scaled_focal):
             crops = warp_crops_device(
                 frame, affines, (self.crop_size, self.crop_size)
             )
             out = forward_step(params, self.frozen, self.cfg, self.smpl, crops)
             cam_full = cam_crop_to_full(
-                out["pred_cam"], centers, sizes, img_wh, self.cfg.focal_length
+                out["pred_cam"], centers, sizes, img_wh, scaled_focal
             )
             return {
                 "pred_vertices": out["pred_vertices"],
@@ -89,9 +89,10 @@ class FullFramePipeline:
             sizes = np.concatenate([sizes, np.tile(sizes[-1:], pad)])
         img_wh = np.tile([[W, H]], (b, 1)).astype(np.float32)
 
+        scaled_focal = self.cfg.focal_length / self.crop_size * max(H, W)
         out = self._run(
             self.params, jnp.asarray(frame), jnp.asarray(affines),
             jnp.asarray(centers.astype(np.float32)), jnp.asarray(sizes),
-            jnp.asarray(img_wh),
+            jnp.asarray(img_wh), jnp.float32(scaled_focal),
         )
         return jax.tree_util.tree_map(lambda x: np.asarray(x[:n]), out)

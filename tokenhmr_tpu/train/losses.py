@@ -81,15 +81,20 @@ def vertices_loss(pred_vertices, gt_vertices, loss_type: str = "l1"):
     return jnp.mean(_elementwise(loss_type, pred_vertices, gt_vertices))
 
 
-def token_loss(cls_logits_softmax, gt_tokens):
+def token_loss(cls_logits_softmax, gt_tokens, sample_weights=None):
     """CE over token classes. NOTE the reference applies CrossEntropyLoss to
     ALREADY-SOFTMAXED outputs (ref losses.py:230-252) — i.e. log_softmax of a
     simplex; we reproduce that exact objective for parity.
-    pred (B, T, K) simplex, gt (B, T) int."""
+    pred (B, T, K) simplex, gt (B, T) int, sample_weights optional (B,)
+    (masks samples whose gt pose — and hence gt tokens — is absent)."""
     B, T, K = cls_logits_softmax.shape
-    logp = jax.nn.log_softmax(cls_logits_softmax.reshape(B * T, K), axis=-1)
-    picked = jnp.take_along_axis(logp, gt_tokens.reshape(B * T, 1), axis=1)
-    return -jnp.mean(picked)
+    logp = jax.nn.log_softmax(cls_logits_softmax, axis=-1)
+    picked = jnp.take_along_axis(logp, gt_tokens[..., None], axis=-1)[..., 0]
+    per_sample = -jnp.mean(picked, axis=-1)              # (B,)
+    if sample_weights is None:
+        return jnp.mean(per_sample)
+    denom = jnp.maximum(jnp.sum(sample_weights), 1.0)
+    return jnp.sum(per_sample * sample_weights) / denom
 
 
 # ---------------------------------------------------------------------------

@@ -84,10 +84,11 @@ def make_train_step(
                 else:
                     gt_tokens = None
                 if gt_tokens is not None:
-                    tl = token_loss(out["cls_logits_softmax"], gt_tokens)
-                    # gate by pose validity: tokens from absent gt are noise
+                    # per-sample mask: tokens encoded from absent gt poses
+                    # are noise and must contribute NO gradient
                     has = batch["has_smpl_params"]["body_pose"]
-                    tl = tl * jnp.mean(has)
+                    tl = token_loss(out["cls_logits_softmax"], gt_tokens,
+                                    sample_weights=has)
                     total = total + token_loss_weight * tl
                     losses["token"] = tl
             return total, losses

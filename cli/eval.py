@@ -59,6 +59,9 @@ def main(argv=None):
     p.add_argument("--log-freq", type=int, default=10)
     p.add_argument("--exp-name", default=None)
     p.add_argument("--max-batches", type=int, default=0)
+    p.add_argument("--render-dir", default=None,
+                   help="save prediction grids every --log-freq batches "
+                        "(ref eval.py --render)")
     p.add_argument("--synthetic-weights", action="store_true",
                    help="random weights + synthetic SMPL (pipeline smoke test)")
     p.add_argument("--tiny", action="store_true",
@@ -138,6 +141,19 @@ def main(argv=None):
             n_batches = i + 1
             if i % args.log_freq == args.log_freq - 1:
                 print(evaluator.log(), flush=True)
+                if args.render_dir:
+                    import cv2
+
+                    from tokenhmr_tpu.utils.viz_grid import visualize_batch_grid
+
+                    os.makedirs(args.render_dir, exist_ok=True)
+                    grid = visualize_batch_grid(
+                        batch, {k: np.asarray(v) for k, v in out.items()
+                                if hasattr(v, "shape")},
+                        smpl_model.faces, num_images=4)
+                    cv2.imwrite(os.path.join(
+                        args.render_dir, f"render_{dataset_name}_{i}.png"),
+                        grid[:, :, ::-1])
             if args.max_batches and n_batches >= args.max_batches:
                 break
         dt = time.time() - t0

@@ -104,8 +104,16 @@ def main(argv=None):
         for c, s in zip(centers, scales):
             wh = expand_to_aspect_ratio(s * 200.0, (192, 256))
             size = float(wh.max())
+            # anti-alias blur for heavy downscaling
+            # (ref vitdet_dataset.py:58-65: sigma=(size/patch/2 - 1)/2)
+            src_img = img
+            factor = (size / crop_size) / 2.0
+            if factor > 1.1:
+                sigma = (factor - 1) / 2
+                src_img = cv2.GaussianBlur(img, (0, 0), sigmaX=sigma,
+                                           sigmaY=sigma)
             patch, _ = generate_image_patch(
-                img, c[0], c[1], size, size, crop_size, crop_size,
+                src_img, c[0], c[1], size, size, crop_size, crop_size,
                 do_flip=False, scale=1.0, rot=0.0,
             )
             crops.append((patch.astype(np.float32) - DEFAULT_MEAN) / DEFAULT_STD)

@@ -40,6 +40,9 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--side-view", action="store_true")
     p.add_argument("--save-mesh", action="store_true")
+    p.add_argument("--device-preproc", action="store_true",
+                   help="fused full-frame pipeline: crops are warped ON "
+                        "DEVICE inside the model jit (serve.FullFramePipeline)")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = p.parse_args(argv)
@@ -81,6 +84,12 @@ def main(argv=None):
         return forward_step(params, frozen, cfg, smpl_model, img,
                             mean_params=mean_params)
 
+    pipeline = None
+    if args.device_preproc:
+        from tokenhmr_tpu.serve import FullFramePipeline
+
+        pipeline = FullFramePipeline(params, frozen, cfg, smpl_model)
+
     detector = make_detector(args.detector, args.boxes_file)
     os.makedirs(args.out_folder, exist_ok=True)
 
@@ -97,6 +106,13 @@ def main(argv=None):
         boxes = det(img)
         if len(boxes) == 0:
             print(f"{os.path.basename(img_path)}: no people")
+            continue
+        if pipeline is not None:
+            out = pipeline(img, boxes[:, :4])
+            verts = out["pred_vertices"]
+            cam_t = out["pred_cam_t_full"]
+            _render_outputs(args, img, img_path, verts, cam_t, smpl_model, cfg,
+                            crop_size)
             continue
         centers, scales = bbox_xyxy_to_center_scale(boxes[:, :4])
 
@@ -139,31 +155,42 @@ def main(argv=None):
             all_cam_t.append(np.asarray(cam_full))
         verts = np.concatenate(all_verts)
         cam_t = np.concatenate(all_cam_t)
+        _render_outputs(args, img, img_path, verts, cam_t, smpl_model, cfg,
+                        crop_size)
 
-        base = os.path.splitext(os.path.basename(img_path))[0]
-        composite = img.copy()
+
+def _render_outputs(args, img, img_path, verts, cam_t, smpl_model, cfg,
+                    crop_size):
+    import cv2
+
+    from tokenhmr_tpu.utils.render import overlay_mesh_on_image, save_obj
+
+    H, W = img.shape[:2]
+    scaled_focal = cfg.focal_length / crop_size * max(H, W)
+    base = os.path.splitext(os.path.basename(img_path))[0]
+    composite = img.copy()
+    for pi in range(len(verts)):
+        v_cam = verts[pi] + cam_t[pi]
+        composite = overlay_mesh_on_image(
+            composite, v_cam, smpl_model.faces, scaled_focal, alpha=0.9
+        )
+        if args.save_mesh:
+            save_obj(os.path.join(args.out_folder, f"{base}_{pi}.obj"),
+                     verts[pi], smpl_model.faces)
+    cv2.imwrite(os.path.join(args.out_folder, f"{base}_overlay.png"),
+                composite[:, :, ::-1])
+    if args.side_view:
+        side = np.full_like(img, 255)
+        rot90 = np.array([[0, 0, 1], [0, 1, 0], [-1, 0, 0]], np.float32)
         for pi in range(len(verts)):
-            v_cam = verts[pi] + cam_t[pi]
-            composite = overlay_mesh_on_image(
-                composite, v_cam, smpl_model.faces, scaled_focal, alpha=0.9
+            v_side = (verts[pi] @ rot90.T) + cam_t[pi]
+            side = overlay_mesh_on_image(
+                side, v_side, smpl_model.faces, scaled_focal, alpha=1.0
             )
-            if args.save_mesh:
-                save_obj(os.path.join(args.out_folder, f"{base}_{pi}.obj"),
-                         verts[pi], smpl_model.faces)
-        cv2.imwrite(os.path.join(args.out_folder, f"{base}_overlay.png"),
-                    composite[:, :, ::-1])
-        if args.side_view:
-            side = np.full_like(img, 255)
-            rot90 = np.array([[0, 0, 1], [0, 1, 0], [-1, 0, 0]], np.float32)
-            for pi in range(len(verts)):
-                v_side = (verts[pi] @ rot90.T) + cam_t[pi]
-                side = overlay_mesh_on_image(
-                    side, v_side, smpl_model.faces, scaled_focal, alpha=1.0
-                )
-            cv2.imwrite(os.path.join(args.out_folder, f"{base}_side.png"),
-                        side[:, :, ::-1])
-        print(f"{os.path.basename(img_path)}: {len(verts)} people -> "
-              f"{base}_overlay.png")
+        cv2.imwrite(os.path.join(args.out_folder, f"{base}_side.png"),
+                    side[:, :, ::-1])
+    print(f"{os.path.basename(img_path)}: {len(verts)} people -> "
+          f"{base}_overlay.png")
 
 
 if __name__ == "__main__":

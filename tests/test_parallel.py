@@ -16,8 +16,19 @@ class TestMesh:
         assert dict(make_mesh(n_fsdp=2).shape) == {"data": 4, "fsdp": 2, "model": 1}
         assert dict(make_mesh(n_fsdp=2, n_model=2).shape) == {
             "data": 2, "fsdp": 2, "model": 2}
-        with pytest.raises(AssertionError):
+        with pytest.raises(ValueError):
             make_mesh(n_data=3, n_fsdp=3)
+        with pytest.raises(ValueError, match="factorize"):
+            make_mesh(n_fsdp=3)  # 3 does not divide 8
+
+    def test_tp_rules_must_match(self):
+        # a renamed tree (no vit-block path fragments) with model>1 must
+        # fail loudly instead of silently replicating everything
+        from tokenhmr_tpu.parallel.mesh import param_shardings
+        mesh = make_mesh(n_model=2)
+        params = {"encoder": {"layer0": {"w": jnp.zeros((256, 1024))}}}
+        with pytest.raises(ValueError, match="TP rules matched 0"):
+            param_shardings(params, mesh)
 
     def test_param_sharding_rules(self):
         mesh = make_mesh(n_fsdp=2, n_model=2)

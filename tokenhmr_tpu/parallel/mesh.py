@@ -30,10 +30,17 @@ def make_mesh(
     devices = devices if devices is not None else jax.devices()
     n_total = len(devices)
     if n_data is None:
+        if n_fsdp * n_model > n_total or n_total % (n_fsdp * n_model) != 0:
+            raise ValueError(
+                f"cannot factorize {n_total} device(s) as data x fsdp={n_fsdp} "
+                f"x model={n_model}; pick axis sizes whose product divides "
+                f"{n_total} (e.g. fsdp=1 model=1 for single-device)"
+            )
         n_data = n_total // (n_fsdp * n_model)
-    assert n_data * n_fsdp * n_model == n_total, (
-        f"mesh {n_data}x{n_fsdp}x{n_model} != {n_total} devices"
-    )
+    if n_data * n_fsdp * n_model != n_total:
+        raise ValueError(
+            f"mesh {n_data}x{n_fsdp}x{n_model} != {n_total} devices"
+        )
     dev_array = np.asarray(devices).reshape(n_data, n_fsdp, n_model)
     return Mesh(dev_array, ("data", "fsdp", "model"))
 
@@ -87,14 +94,47 @@ def _param_spec(path: Tuple, leaf, mesh: Mesh, shard_params: bool) -> P:
     return P(*names)
 
 
+def _spec_axes(spec: P):
+    """Flatten a PartitionSpec's mesh-axis names (entries may be tuples)."""
+    for entry in spec:
+        if entry is None:
+            continue
+        if isinstance(entry, (tuple, list)):
+            yield from entry
+        else:
+            yield entry
+
+
 def param_shardings(params: Any, mesh: Mesh, shard_params: bool = True) -> Any:
-    """NamedSharding tree for a param pytree under the mesh's rules."""
+    """NamedSharding tree for a param pytree under the mesh's rules.
+
+    When a non-trivial axis is requested, asserts the rules actually matched
+    something — a silent all-replicated tree (e.g. after a module rename that
+    breaks the path-fragment rules) would otherwise masquerade as TP/FSDP.
+    """
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     treedef = jax.tree_util.tree_structure(params)
-    specs = [
-        NamedSharding(mesh, _param_spec(path, leaf, mesh, shard_params))
-        for path, leaf in flat
-    ]
+    raw = [_param_spec(path, leaf, mesh, shard_params) for path, leaf in flat]
+    if flat and mesh.shape["model"] > 1:
+        hit = sum(1 for s in raw if "model" in set(_spec_axes(s)))
+        if hit == 0:
+            raise ValueError(
+                f"mesh axis 'model' has size {mesh.shape['model']} but the "
+                f"TP rules matched 0 of {len(flat)} params — check the "
+                f"parameter path fragments in parallel/mesh.py:_param_spec "
+                f"against the model's actual module names"
+            )
+    if flat and shard_params and mesh.shape["fsdp"] > 1:
+        hit = sum(1 for s in raw if "fsdp" in set(_spec_axes(s)))
+        if hit == 0:
+            # legitimate for tiny models (everything below the 65536 size
+            # floor stays replicated) — warn, don't fail
+            import logging
+            logging.getLogger(__name__).warning(
+                "fsdp axis size %d but 0/%d params sharded (all below the "
+                "size floor or indivisible)", mesh.shape["fsdp"], len(flat)
+            )
+    specs = [NamedSharding(mesh, s) for s in raw]
     return jax.tree_util.tree_unflatten(treedef, specs)
 
 

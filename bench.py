@@ -40,6 +40,13 @@ def main():
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
 
     cfg, frozen, smpl_model, params, _ = G._flagship(batch_size=batch_size)
+    quant = os.environ.get("BENCH_QUANT", "int8")
+    if quant == "int8":
+        # W8A8 dynamic-quant MXU path for the ViT dense layers: measured
+        # 1.5-1.7x over bf16 per-matmul on v5e (docs/PERF_NOTES.md); output
+        # accuracy delta vs bf16 is printed by BENCH_CHECK=1
+        import dataclasses
+        cfg = dataclasses.replace(cfg, vit=dataclasses.replace(cfg.vit, quant="int8"))
     if os.environ.get("BENCH_BF16_PARAMS", "1") == "1":
         # store weights in bf16: halves weight HBM traffic, removes the
         # per-layer f32->bf16 cast; accuracy impact is within bf16 compute
@@ -68,6 +75,23 @@ def main():
     for _ in range(warmup):
         v, c = pixels_to_vertices(params, crops)
     float(jnp.sum(v))
+
+    if os.environ.get("BENCH_CHECK", "0") == "1" and quant == "int8":
+        # quantization accuracy vs the bf16 path, in SMPL vertex space
+        import dataclasses
+        bcfg = dataclasses.replace(cfg, vit=dataclasses.replace(cfg.vit, quant=None))
+
+        @jax.jit
+        def ref_fn(params, crops_u8):
+            x = crops_u8.astype(jnp.float32) / 255.0
+            x = (x - mean) / std
+            out = forward_step(params, frozen, bcfg, smpl_model, x)
+            return out["pred_vertices"]
+
+        v_ref = ref_fn(params, crops)
+        dv = jnp.linalg.norm(v - v_ref, axis=-1)  # (B, V) in meters
+        print(f"# int8-vs-bf16 vertex delta: mean {float(jnp.mean(dv))*1000:.3f} mm, "
+              f"p99 {float(jnp.percentile(dv, 99))*1000:.3f} mm", file=sys.stderr)
 
     t0 = time.perf_counter()
     for _ in range(iters):

@@ -1,0 +1,122 @@
+"""int8 dynamic-quant matmul: pallas-vs-xla equivalence + accuracy bounds."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tokenhmr_tpu.ops.qmatmul import (
+    int8_dense, int8_matmul_pallas, int8_matmul_xla, quantize_cols,
+    quantize_rows,
+)
+
+
+class TestQuantize:
+    def test_row_quant_roundtrip(self):
+        x = jnp.asarray(np.random.RandomState(0).randn(64, 256), jnp.float32)
+        q, s = quantize_rows(x)
+        assert q.dtype == jnp.int8 and s.shape == (64, 1)
+        err = jnp.max(jnp.abs(q.astype(jnp.float32) * s - x))
+        # max quant error is scale/2 per element
+        assert float(err) <= float(jnp.max(s)) * 0.5 + 1e-6
+
+    def test_col_quant_roundtrip(self):
+        w = jnp.asarray(np.random.RandomState(1).randn(256, 128), jnp.float32)
+        q, s = quantize_cols(w)
+        assert q.dtype == jnp.int8 and s.shape == (1, 128)
+        err = jnp.max(jnp.abs(q.astype(jnp.float32) * s - w))
+        assert float(err) <= float(jnp.max(s)) * 0.5 + 1e-6
+
+    def test_zero_row_is_finite(self):
+        x = jnp.zeros((4, 256), jnp.float32)
+        q, s = quantize_rows(x)
+        assert np.all(np.isfinite(np.asarray(s))) and np.all(np.asarray(q) == 0)
+
+
+class TestInt8Matmul:
+    def _mk(self, M=64, K=256, N=256):
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(M, K), jnp.float32)
+        w = jnp.asarray(rng.randn(K, N) * 0.05, jnp.float32)
+        b = jnp.asarray(rng.randn(N) * 0.1, jnp.float32)
+        return x, w, b
+
+    @pytest.mark.parametrize("act", [None, "gelu_tanh"])
+    def test_pallas_interpret_matches_xla(self, act):
+        x, w, b = self._mk()
+        xq, xs = quantize_rows(x)
+        wq, ws = quantize_cols(w)
+        ref = int8_matmul_xla(xq, xs, wq, ws, b, act, jnp.float32)
+        out = int8_matmul_pallas(xq, xs, wq, ws, b, act, jnp.float32,
+                                 interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_pallas_interpret_nobias(self):
+        x, w, _ = self._mk()
+        xq, xs = quantize_rows(x)
+        wq, ws = quantize_cols(w)
+        ref = int8_matmul_xla(xq, xs, wq, ws, None, None, jnp.float32)
+        out = int8_matmul_pallas(xq, xs, wq, ws, None, None, jnp.float32,
+                                 interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_untileable_shape_raises(self):
+        xq = jnp.zeros((60, 256), jnp.int8)  # M=60 has no mult-of-32 divisor
+        xs = jnp.ones((60, 1))
+        wq = jnp.zeros((256, 256), jnp.int8)
+        ws = jnp.ones((1, 256))
+        with pytest.raises(ValueError, match="untileable"):
+            int8_matmul_pallas(xq, xs, wq, ws)
+
+    def test_int8_dense_accuracy(self):
+        x, w, b = self._mk(M=128, K=512, N=384)
+        ref = jnp.dot(x, w) + b
+        out = int8_dense(x, w, b, out_dtype=jnp.float32, impl="xla")
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.02, rel  # W8A8 per-token/per-channel
+
+    def test_int8_dense_leading_dims(self):
+        x, w, b = self._mk(M=64, K=256, N=128)
+        x3 = x.reshape(4, 16, 256)
+        out = int8_dense(x3, w, b, out_dtype=jnp.float32, impl="xla")
+        assert out.shape == (4, 16, 128)
+        flat = int8_dense(x, w, b, out_dtype=jnp.float32, impl="xla")
+        np.testing.assert_allclose(np.asarray(out).reshape(64, 128),
+                                   np.asarray(flat), rtol=1e-6)
+
+
+class TestQuantViT:
+    def test_tiny_vit_int8_close_to_fp(self):
+        import dataclasses
+        from tokenhmr_tpu.models.vit import ViT, ViTConfig
+
+        cfg = ViTConfig(img_size=(64, 48), embed_dim=128, depth=2,
+                        num_heads=4, dtype=jnp.float32, attn_impl="xla")
+        x = jnp.asarray(np.random.RandomState(3).randn(2, 64, 48, 3),
+                        jnp.float32)
+        params = ViT(cfg).init(jax.random.PRNGKey(0), x)
+        ref = ViT(cfg).apply(params, x)
+        qcfg = dataclasses.replace(cfg, quant="int8")
+        out = ViT(qcfg).apply(params, x)
+        assert out.shape == ref.shape
+        rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+        assert rel < 0.05, rel
+
+    def test_param_tree_identical(self):
+        """quant must not change the checkpoint surface."""
+        from tokenhmr_tpu.models.vit import ViT, ViTConfig
+        import dataclasses
+
+        cfg = ViTConfig(img_size=(64, 48), embed_dim=64, depth=2,
+                        num_heads=4, dtype=jnp.float32, attn_impl="xla")
+        x = jnp.zeros((1, 64, 48, 3), jnp.float32)
+        p0 = ViT(cfg).init(jax.random.PRNGKey(0), x)
+        p1 = ViT(dataclasses.replace(cfg, quant="int8")).init(
+            jax.random.PRNGKey(0), x)
+        s0 = jax.tree_util.tree_structure(p0)
+        s1 = jax.tree_util.tree_structure(p1)
+        assert s0 == s1
+        for a, b in zip(jax.tree_util.tree_leaves(p0),
+                        jax.tree_util.tree_leaves(p1)):
+            assert a.shape == b.shape and a.dtype == b.dtype

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.attention import mha_packed, mha_packed_xla
+from ..ops.qmatmul import int8_dense
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,6 +48,10 @@ class ViTConfig:
     # the (B,S,5120) MLP hidden (measured ~2x MLP-fusion bloat on v5e);
     # approx error ~1e-3 relative.  Set False for bit-strict torch parity.
     gelu_approx: bool = True
+    # "int8": W8A8 dynamic quant for qkv/proj/fc1/fc2 (inference only; the
+    # int8 MXU path is 1.5-1.7x bf16 on v5e — see ops/qmatmul.py).  None =
+    # bf16 matmuls (training + bit-accurate parity path).
+    quant: str | None = None
 
     @property
     def grid_hw(self) -> Tuple[int, int]:
@@ -89,6 +94,38 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
+class QDense(nn.Module):
+    """nn.Dense-compatible layer (same param names/init/tree) that runs the
+    W8A8 int8 MXU path when `quant == "int8"`, with an optional activation
+    fused into the dequant epilogue.  Falls back to an exact nn.Dense-style
+    bf16 matmul when quant is None."""
+
+    features: int
+    cfg: ViTConfig
+    use_bias: bool = True
+    act: str | None = None  # None | "gelu" | "gelu_tanh", fused when quantized
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features), jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias else None
+        )
+        if c.quant == "int8":
+            return int8_dense(x, kernel, bias, act=self.act, out_dtype=c.dtype)
+        y = jnp.dot(x, kernel.astype(c.dtype))
+        if bias is not None:
+            y = y + bias.astype(c.dtype)
+        if self.act is not None:
+            y = jax.nn.gelu(y, approximate=self.act == "gelu_tanh")
+        return y
+
+
 class ViTAttention(nn.Module):
     """qkv -> fused attention -> proj (ref vit.py:89-126)."""
 
@@ -100,7 +137,7 @@ class ViTAttention(nn.Module):
         B, S, C = x.shape
         head_dim = c.embed_dim // c.num_heads
         scale = head_dim ** -0.5
-        qkv = nn.Dense(3 * c.embed_dim, use_bias=c.qkv_bias, dtype=c.dtype, name="qkv")(x)
+        qkv = QDense(3 * c.embed_dim, c, use_bias=c.qkv_bias, name="qkv")(x)
         impl = c.attn_impl
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -108,7 +145,7 @@ class ViTAttention(nn.Module):
             o = mha_packed(qkv, scale, c.num_heads)  # transpose-free kernel
         else:
             o = mha_packed_xla(qkv, scale, c.num_heads)
-        return nn.Dense(c.embed_dim, dtype=c.dtype, name="proj")(o)
+        return QDense(c.embed_dim, c, name="proj")(o)
 
 
 class ViTMlp(nn.Module):
@@ -117,9 +154,9 @@ class ViTMlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        h = nn.Dense(int(c.embed_dim * c.mlp_ratio), dtype=c.dtype, name="fc1")(x)
-        h = nn.gelu(h, approximate=c.gelu_approx)
-        return nn.Dense(c.embed_dim, dtype=c.dtype, name="fc2")(h)
+        act = "gelu_tanh" if c.gelu_approx else "gelu"
+        h = QDense(int(c.embed_dim * c.mlp_ratio), c, act=act, name="fc1")(x)
+        return QDense(c.embed_dim, c, name="fc2")(h)
 
 
 class ViTBlock(nn.Module):

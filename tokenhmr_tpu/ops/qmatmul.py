@@ -1,0 +1,216 @@
+"""Dynamically-quantized int8 matmul for the ViT-H dense layers.
+
+The reference runs its ViT-H dense layers (qkv/proj/fc1/fc2, ref
+`tokenhmr/lib/models/backbones/vit.py:89-126,129-141`) in fp16 via cuBLAS.
+On TPU v5e the MXU has a 2x int8 rate (394 TOPS nameplate vs 197 bf16);
+measured on real hardware (docs/PERF_NOTES.md round 2):
+
+  * XLA int8 dot: 220-235 TOPS on fc1/qkv shapes (1.57-1.59x over bf16)
+  * Pallas int8 kernel: 262 TOPS on the fc2 shape (1.70x)
+  * (per-op dispatch timings are corrupted by ~1 ms of tunnel overhead —
+    always benchmark inside one jit, e.g. lax.scan over layers)
+
+Scheme: W8A8 with
+  * activations: per-token (row) dynamic symmetric quant, computed on the
+    fly — fuses into the preceding LayerNorm's elementwise chain under XLA
+  * weights: per-output-channel (column) symmetric quant, computed from the
+    bf16 master weights inside the jit (cost: one VPU pass over the weight,
+    ~0.1% of the matmul; avoids checkpoint surgery and keeps the param tree
+    identical to the bf16 path)
+  * int32 MXU accumulation, fused f32 dequant + bias + optional tanh-GELU
+    epilogue in the kernel, bf16 out
+
+This is an inference path: no custom VJP is defined (training keeps bf16;
+`quant` is rejected by the train step).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu imports everywhere but only lowers on TPU
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+
+def quantize_rows(x: jax.Array, eps: float = 1e-8):
+    """Per-row symmetric int8 quant: (M, K) -> (int8 (M, K), f32 (M, 1))."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), eps) / 127.0
+    q = jnp.clip(jnp.rint(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_cols(w: jax.Array, eps: float = 1e-8):
+    """Per-column symmetric int8 quant: (K, N) -> (int8 (K, N), f32 (1, N))."""
+    wf = w.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=0, keepdims=True), eps) / 127.0
+    q = jnp.clip(jnp.rint(wf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _apply_act(h: jax.Array, act: Optional[str]) -> jax.Array:
+    if act is None:
+        return h
+    if act == "gelu_tanh":
+        return jax.nn.gelu(h, approximate=True)
+    if act == "gelu":
+        return jax.nn.gelu(h, approximate=False)
+    raise ValueError(f"unknown epilogue activation {act!r}")
+
+
+def _epi_kernel(xq_ref, xs_ref, wq_ref, ws_ref, b_ref, o_ref, *, act):
+    acc = jax.lax.dot_general(
+        xq_ref[:], wq_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    h = acc.astype(jnp.float32) * xs_ref[:] * ws_ref[:]
+    if b_ref is not None:
+        h = h + b_ref[:]
+    o_ref[:] = _apply_act(h, act).astype(o_ref.dtype)
+
+
+def _epi_kernel_nobias(xq_ref, xs_ref, wq_ref, ws_ref, o_ref, *, act):
+    _epi_kernel(xq_ref, xs_ref, wq_ref, ws_ref, None, o_ref, act=act)
+
+
+def _pick_tile(dim: int, cap: int, mult: int) -> Optional[int]:
+    """Largest divisor of `dim` that is <= cap and a multiple of `mult`."""
+    best = None
+    for t in range(mult, min(dim, cap) + 1, mult):
+        if dim % t == 0:
+            best = t
+    return best
+
+
+def int8_matmul_pallas(
+    xq: jax.Array,
+    xs: jax.Array,
+    wq: jax.Array,
+    ws: jax.Array,
+    bias: Optional[jax.Array] = None,
+    act: Optional[str] = None,
+    out_dtype: jnp.dtype = jnp.bfloat16,
+    interpret: bool = False,
+    tm: Optional[int] = None,
+    tn: Optional[int] = None,
+) -> jax.Array:
+    """(M, K) int8 @ (K, N) int8 -> (M, N) out_dtype, fused dequant+bias+act.
+
+    Returns None-equivalent fallback criteria via ValueError if the shape
+    can't be tiled; callers should use `int8_matmul` which falls back to XLA.
+    """
+    M, K = xq.shape
+    K2, N = wq.shape
+    assert K == K2, (xq.shape, wq.shape)
+    # tile sweep on v5e (docs/PERF_NOTES.md round 2): large-K shapes want
+    # (512, 1024); small-N shapes want a wide M block; VMEM overflows past
+    # ~TM*K + K*TN + 2*TM*TN bytes ~ 8MB (remote compile HTTP 500)
+    if tm is None:
+        tm = 512 if K >= 2048 else 1024
+    if tn is None:
+        tn = 1024 if N > 1536 else 1280
+    TM = _pick_tile(M, tm, 32)
+    TN = _pick_tile(N, tn, 128)
+    if TM is None or TN is None or K % 128 != 0:
+        raise ValueError(f"untileable int8 matmul shape M={M} K={K} N={N}")
+
+    kern = _epi_kernel_nobias if bias is None else _epi_kernel
+    spec_x = pl.BlockSpec((TM, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    spec_xs = pl.BlockSpec((TM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    spec_w = pl.BlockSpec((K, TN), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    spec_n = pl.BlockSpec((1, TN), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    in_specs = [spec_x, spec_xs, spec_w, spec_n]
+    args = [xq, xs.astype(jnp.float32), wq, ws.astype(jnp.float32)]
+    if bias is not None:
+        in_specs.append(spec_n)
+        args.append(bias.reshape(1, N).astype(jnp.float32))
+    return pl.pallas_call(
+        functools.partial(kern, act=act),
+        grid=(M // TM, N // TN),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((TM, TN), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * N,
+            bytes_accessed=M * K + K * N + M * N * 2,
+            transcendentals=M * N if act else 0,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def int8_matmul_xla(
+    xq: jax.Array,
+    xs: jax.Array,
+    wq: jax.Array,
+    ws: jax.Array,
+    bias: Optional[jax.Array] = None,
+    act: Optional[str] = None,
+    out_dtype: jnp.dtype = jnp.bfloat16,
+) -> jax.Array:
+    acc = jax.lax.dot_general(
+        xq, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    h = acc.astype(jnp.float32) * xs.astype(jnp.float32) * ws.astype(jnp.float32)
+    if bias is not None:
+        h = h + bias.astype(jnp.float32)
+    return _apply_act(h, act).astype(out_dtype)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def int8_dense(
+    x: jax.Array,
+    w: jax.Array,
+    bias: Optional[jax.Array] = None,
+    act: Optional[str] = None,
+    out_dtype: Optional[jnp.dtype] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """Drop-in quantized replacement for `x @ w + b` with fused activation.
+
+    x: (..., K) float; w: (K, N) float master weights (quantized on the fly,
+    per column); bias: (N,) or None.  Leading dims of x are flattened to M.
+    impl: auto | pallas | xla.  auto = pallas on TPU when the shape tiles,
+    else XLA (which still uses the int8 MXU path).
+    """
+    out_dtype = out_dtype or x.dtype
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    N = w.shape[-1]
+    x2 = x.reshape(-1, K)
+    xq, xs = quantize_rows(x2)
+    wq, ws = quantize_cols(w)
+    if impl == "auto":
+        if not _on_tpu():
+            impl = "xla"
+        elif K >= 2048 or N <= 1536:
+            # measured per-shape winners on v5e (in-jit scan, B=128):
+            #   fc2 (K=5120): pallas 252 TOPS vs xla 230
+            #   proj (N=1280): pallas 137 vs xla 121
+            #   fc1/qkv (K=1280, wide N): xla 235/220 vs pallas 207/181
+            impl = "pallas"
+        else:
+            impl = "xla"
+    if impl == "pallas":
+        try:
+            out = int8_matmul_pallas(xq, xs, wq, ws, bias, act, out_dtype)
+        except ValueError:
+            out = int8_matmul_xla(xq, xs, wq, ws, bias, act, out_dtype)
+    else:
+        out = int8_matmul_xla(xq, xs, wq, ws, bias, act, out_dtype)
+    return out.reshape(*lead, N)

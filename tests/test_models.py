@@ -242,6 +242,7 @@ class TestPackedAttention:
         rng = np.random.RandomState(3)
         B, S, H, D = 2, 16, 2, 8
         qkv = jnp.asarray(rng.randn(B, S, 3 * H * D).astype(np.float32))
+        from jax.experimental.pallas import tpu as pltpu
         out = pl.pallas_call(
             functools.partial(A._mha_packed_kernel, scale=D ** -0.5,
                               num_heads=H, head_dim=D),
@@ -249,10 +250,40 @@ class TestPackedAttention:
             in_specs=[pl.BlockSpec((1, S, 3 * H * D), lambda b: (b, 0, 0))],
             out_specs=pl.BlockSpec((1, S, H * D), lambda b: (b, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((B, S, H * D), qkv.dtype),
+            scratch_shapes=[pltpu.VMEM((H, S, S), jnp.float32)],
             interpret=True,
         )(qkv)
         ref = A.mha_packed_xla(qkv, D ** -0.5, H)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_packed_q8_kernel_interpret_matches_xla(self):
+        """int8-out epilogue: dequantized kernel output ~= xla attention."""
+        from tokenhmr_tpu.ops import attention as A
+        import functools
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        rng = np.random.RandomState(4)
+        B, S, H, D = 2, 16, 2, 8
+        qkv = jnp.asarray(rng.randn(B, S, 3 * H * D).astype(np.float32))
+        oq, os_ = pl.pallas_call(
+            functools.partial(A._mha_packed_q8_kernel, scale=D ** -0.5,
+                              num_heads=H, head_dim=D),
+            grid=(B,),
+            in_specs=[pl.BlockSpec((1, S, 3 * H * D), lambda b: (b, 0, 0))],
+            out_specs=(pl.BlockSpec((1, S, H * D), lambda b: (b, 0, 0)),
+                       pl.BlockSpec((1, S, 1), lambda b: (b, 0, 0))),
+            out_shape=(jax.ShapeDtypeStruct((B, S, H * D), jnp.int8),
+                       jax.ShapeDtypeStruct((B, S, 1), jnp.float32)),
+            scratch_shapes=[pltpu.VMEM((H, S, S), jnp.float32),
+                            pltpu.VMEM((S, H * D), jnp.float32)],
+            interpret=True,
+        )(qkv)
+        ref = A.mha_packed_xla(qkv, D ** -0.5, H)
+        deq = np.asarray(oq, np.float32) * np.asarray(os_)
+        # per-row int8 quantization error bound: scale/2 per element
+        max_scale = float(np.max(np.asarray(os_)))
+        np.testing.assert_allclose(deq, np.asarray(ref),
+                                   atol=max_scale * 0.51 + 1e-6)
 
     def test_packed_vjp_matches_autodiff(self):
         from tokenhmr_tpu.ops.attention import mha_packed_xla

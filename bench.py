@@ -70,6 +70,27 @@ def main():
         rng.randint(0, 255, (batch_size, 256, 192, 3), dtype=np.uint8)
     )
 
+    if quant == "int8" and os.environ.get("BENCH_STATIC_QUANT", "1") == "1":
+        # one calibration forward (bf16) records per-channel fc1-output
+        # maxima; the static scales let XLA fuse fc1's output quantization
+        # into its matmul epilogue (saves a full (B,S,4C) HBM round trip
+        # per layer)
+        import dataclasses
+        from tokenhmr_tpu.models.vit import ViT
+        ccfg = dataclasses.replace(cfg.vit, quant="calib")
+
+        @jax.jit
+        def calib(params, crops_u8):
+            x = crops_u8.astype(jnp.float32) / 255.0
+            x = (x - mean) / std
+            return ViT(ccfg).apply({"params": params["backbone"]}, x,
+                                   mutable=["quant"])[1]["quant"]
+
+        params = dict(params)
+        params["backbone_quant"] = jax.tree_util.tree_map(
+            lambda v: v * 1.1,  # 10% headroom over the calibration batch
+            calib(params, crops))
+
     # warmup/compile (value readback forces a REAL sync; block_until_ready
     # has been observed returning early on tunneled PJRT backends)
     for _ in range(warmup):

@@ -267,7 +267,7 @@ class TestPackedAttention:
         qkv = jnp.asarray(rng.randn(B, S, 3 * H * D).astype(np.float32))
         oq, os_ = pl.pallas_call(
             functools.partial(A._mha_packed_q8_kernel, scale=D ** -0.5,
-                              num_heads=H, head_dim=D),
+                              num_heads=H, head_dim=D, block_rows=1),
             grid=(B,),
             in_specs=[pl.BlockSpec((1, S, 3 * H * D), lambda b: (b, 0, 0))],
             out_specs=(pl.BlockSpec((1, S, H * D), lambda b: (b, 0, 0)),

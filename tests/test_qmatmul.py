@@ -103,6 +103,35 @@ class TestQuantViT:
         rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
         assert rel < 0.05, rel
 
+    def test_calibrated_static_quant(self):
+        """calib pass -> static fc1->fc2 scales ~= dynamic-quant output."""
+        import dataclasses
+        from tokenhmr_tpu.models.vit import ViT, ViTConfig
+
+        cfg = ViTConfig(img_size=(64, 48), embed_dim=128, depth=2,
+                        num_heads=4, dtype=jnp.float32, attn_impl="xla")
+        x = jnp.asarray(np.random.RandomState(5).randn(2, 64, 48, 3),
+                        jnp.float32)
+        params = ViT(cfg).init(jax.random.PRNGKey(0), x)
+        ref = ViT(cfg).apply(params, x)
+
+        ccfg = dataclasses.replace(cfg, quant="calib")
+        _, qcol = ViT(ccfg).apply(params, x, mutable=["quant"])
+        scales = qcol["quant"]
+        # sanity: one (depth, hidden) stacked scale tensor
+        leaves = jax.tree_util.tree_leaves(scales)
+        assert len(leaves) == 1 and leaves[0].shape == (2, 512)
+
+        qcfg = dataclasses.replace(cfg, quant="int8")
+        out_static = ViT(qcfg).apply(
+            {"params": params["params"], "quant": scales}, x)
+        out_dyn = ViT(qcfg).apply(params, x)
+        rel_s = float(jnp.linalg.norm(out_static - ref) / jnp.linalg.norm(ref))
+        rel_d = float(jnp.linalg.norm(out_dyn - ref) / jnp.linalg.norm(ref))
+        assert rel_s < 0.05, rel_s
+        # static per-channel should be in the same error ballpark as dynamic
+        assert rel_s < 3 * rel_d + 0.01, (rel_s, rel_d)
+
     def test_param_tree_identical(self):
         """quant must not change the checkpoint surface."""
         from tokenhmr_tpu.models.vit import ViT, ViTConfig

@@ -101,9 +101,11 @@ def forward_step(
     cls_logits_softmax (token head only).
     """
     B = img.shape[0]
-    feats = ViT(cfg.vit).apply(
-        {"params": params["backbone"]}, img, train=train, rngs=rngs
-    )
+    bb_vars = {"params": params["backbone"]}
+    if "backbone_quant" in params:
+        # calibrated static-quant scales (see vit.ViTConfig.quant="calib")
+        bb_vars["quant"] = params["backbone_quant"]
+    feats = ViT(cfg.vit).apply(bb_vars, img, train=train, rngs=rngs)
     head = _make_head(cfg, frozen, mean_params)
     pred_smpl_params, pred_cam, extras = head.apply(
         {"params": params["head"]}, feats, train=train, rngs=rngs

@@ -50,7 +50,11 @@ class ViTConfig:
     gelu_approx: bool = True
     # "int8": W8A8 dynamic quant for qkv/proj/fc1/fc2 (inference only; the
     # int8 MXU path is 1.5-1.7x bf16 on v5e — see ops/qmatmul.py).  None =
-    # bf16 matmuls (training + bit-accurate parity path).
+    # bf16 matmuls (training + bit-accurate parity path).  "calib": bf16
+    # forward that records per-channel activation maxima into a mutable
+    # "quant" collection (apply with mutable=["quant"]); feed the result
+    # back as the "quant" collection with quant="int8" to enable the
+    # static-scale fc1->fc2 path.
     quant: str | None = None
 
     @property
@@ -106,9 +110,12 @@ class QDense(nn.Module):
     act: str | None = None  # None | "gelu" | "gelu_tanh", fused when quantized
 
     @nn.compact
-    def __call__(self, x, residual=None, x_prequant=None):
-        """x_prequant: (int8, row-scales) from a producer kernel that already
-        quantized (skips the quant pass); residual: fused `out + residual`."""
+    def __call__(self, x, residual=None, x_prequant=None, in_scale=None,
+                 quant_out_scale=None):
+        """x_prequant: (int8, row-scales-or-None) from a producer kernel that
+        already quantized (skips the quant pass); residual: fused
+        `out + residual`; in_scale/quant_out_scale: static per-channel
+        scales (see ops/qmatmul.int8_dense)."""
         c = self.cfg
         in_features = (x_prequant[0] if x_prequant is not None else x).shape[-1]
         kernel = self.param(
@@ -121,7 +128,9 @@ class QDense(nn.Module):
         )
         if c.quant == "int8":
             return int8_dense(x, kernel, bias, act=self.act, out_dtype=c.dtype,
-                              residual=residual, x_prequant=x_prequant)
+                              residual=residual, x_prequant=x_prequant,
+                              in_scale=in_scale,
+                              quant_out_scale=quant_out_scale)
         y = jnp.dot(x, kernel.astype(c.dtype))
         if bias is not None:
             y = y + bias.astype(c.dtype)
@@ -167,7 +176,27 @@ class ViTMlp(nn.Module):
     def __call__(self, x, residual=None):
         c = self.cfg
         act = "gelu_tanh" if c.gelu_approx else "gelu"
-        h = QDense(int(c.embed_dim * c.mlp_ratio), c, act=act, name="fc1")(x)
+        hidden = int(c.embed_dim * c.mlp_ratio)
+        if c.quant == "int8" and self.has_variable("quant", "fc1_out_scale"):
+            # static per-channel quantization of the fc1->fc2 intermediate
+            # (calibrated, see ViTConfig.quant="calib"): fc1 emits int8
+            # directly (XLA fuses /scale+round+cast into the matmul
+            # epilogue — the bf16 (B,S,4C) tensor never exists in HBM) and
+            # the scales fold into fc2's weight quant, SmoothQuant-style
+            s = self.variable("quant", "fc1_out_scale",
+                              lambda: jnp.ones((hidden,), jnp.float32)).value
+            hq = QDense(hidden, c, act=act, name="fc1")(x, quant_out_scale=s)
+            return QDense(c.embed_dim, c, name="fc2")(
+                None, residual=residual, x_prequant=(hq, None), in_scale=s)
+        h = QDense(hidden, c, act=act, name="fc1")(x)
+        if c.quant == "calib":
+            # calibration pass: record per-channel max |fc1 output| for the
+            # static-quant inference path (run with mutable=["quant"])
+            stat = self.variable("quant", "fc1_out_scale",
+                                 lambda: jnp.ones((hidden,), jnp.float32))
+            amax = jnp.max(jnp.abs(h.astype(jnp.float32)),
+                           axis=tuple(range(h.ndim - 1)))
+            stat.value = jnp.maximum(amax, 1e-6) / 127.0
         return QDense(c.embed_dim, c, name="fc2")(h, residual=residual)
 
 
@@ -269,7 +298,7 @@ class ViT(nn.Module):
                 body = nn.remat(body, static_argnums=())
             scan = nn.scan(
                 body,
-                variable_axes={"params": 0},
+                variable_axes={"params": 0, "quant": 0},
                 split_rngs={"params": True, "drop_path": True},
                 in_axes=0,
                 length=c.depth,

@@ -210,44 +210,54 @@ def _mha_packed_impl(qkv: jax.Array, scale: float, num_heads: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _mha_packed_q8_kernel(qkv_ref, o_ref, s_ref, sc_ref, ob_ref, *,
-                          scale: float, num_heads: int, head_dim: int):
+                          scale: float, num_heads: int, head_dim: int,
+                          block_rows: int):
     HD = num_heads * head_dim
-    for h in range(num_heads):
-        q = qkv_ref[0, :, h * head_dim:(h + 1) * head_dim]
-        k = qkv_ref[0, :, HD + h * head_dim: HD + (h + 1) * head_dim]
-        sc_ref[h] = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-    for h in range(num_heads):
-        s = sc_ref[h] * scale
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(qkv_ref.dtype)
-        v = qkv_ref[0, :, 2 * HD + h * head_dim: 2 * HD + (h + 1) * head_dim]
-        ob_ref[:, h * head_dim:(h + 1) * head_dim] = jnp.dot(
-            p, v, preferred_element_type=jnp.float32
-        )
-    o = ob_ref[:]
-    rs = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True), 1e-8) / 127.0
-    s_ref[0] = rs
-    o_ref[0] = jnp.clip(jnp.rint(o / rs), -127, 127).astype(jnp.int8)
+    for b in range(block_rows):
+        for h in range(num_heads):
+            q = qkv_ref[b, :, h * head_dim:(h + 1) * head_dim]
+            k = qkv_ref[b, :, HD + h * head_dim: HD + (h + 1) * head_dim]
+            sc_ref[h] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        for h in range(num_heads):
+            s = sc_ref[h] * scale
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(qkv_ref.dtype)
+            v = qkv_ref[b, :, 2 * HD + h * head_dim: 2 * HD + (h + 1) * head_dim]
+            ob_ref[:, h * head_dim:(h + 1) * head_dim] = jnp.dot(
+                p, v, preferred_element_type=jnp.float32
+            )
+        o = ob_ref[:]
+        rs = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True), 1e-8) / 127.0
+        s_ref[b] = rs
+        o_ref[b] = jnp.clip(jnp.rint(o / rs), -127, 127).astype(jnp.int8)
 
 
-def mha_packed_q8(qkv: jax.Array, scale: float, num_heads: int):
-    """(B, S, 3*H*D) -> (int8 (B, S, H*D), f32 (B, S, 1)) — inference only."""
+def mha_packed_q8(qkv: jax.Array, scale: float, num_heads: int,
+                  block_rows: int = 2):
+    """(B, S, 3*H*D) -> (int8 (B, S, H*D), f32 (B, S, 1)) — inference only.
+
+    block_rows batch items per grid program amortize per-program pipeline
+    overhead (0.516 vs 0.567 ms/layer standalone at B=128)."""
     B, S, THD = qkv.shape
     HD = THD // 3
     D = HD // num_heads
+    while block_rows > 1 and B % block_rows != 0:
+        block_rows //= 2
+    R = block_rows
     return pl.pallas_call(
         functools.partial(_mha_packed_q8_kernel, scale=scale,
-                          num_heads=num_heads, head_dim=D),
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, S, THD), lambda b: (b, 0, 0),
+                          num_heads=num_heads, head_dim=D, block_rows=R),
+        grid=(B // R,),
+        in_specs=[pl.BlockSpec((R, S, THD), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((1, S, HD), lambda b: (b, 0, 0),
+            pl.BlockSpec((R, S, HD), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, 1), lambda b: (b, 0, 0),
+            pl.BlockSpec((R, S, 1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(

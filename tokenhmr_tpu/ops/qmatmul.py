@@ -196,14 +196,22 @@ def int8_dense(
     impl: str = "auto",
     residual: Optional[jax.Array] = None,
     x_prequant: Optional[tuple] = None,
+    in_scale: Optional[jax.Array] = None,
+    quant_out_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Drop-in quantized replacement for `act(x @ w + b) [+ residual]`.
 
     x: (..., K) float; w: (K, N) float master weights (quantized on the fly,
     per column); bias: (N,) or None.  Leading dims of x are flattened to M.
-    x_prequant: optional (int8 (..., K), f32 (..., 1)) pair from a producer
-    that already quantized (e.g. the attention kernel's int8-out epilogue) —
-    skips the quantize_rows pass entirely; `x` may then be None.
+    x_prequant: optional (int8 (..., K), f32 (..., 1) or None) pair from a
+    producer that already quantized — skips the quantize_rows pass; `x` may
+    then be None.  A None scale means STATIC per-channel quantization: pass
+    the producer's per-channel scales as `in_scale` (K,) and they are folded
+    into the weight quantization (W' = diag(in_scale) @ W), SmoothQuant-style.
+    quant_out_scale: (N,) static per-channel output scales — the result is
+    returned as int8 (act(xw+b)/scale, rounded+clipped); lets XLA fuse the
+    downstream consumer's quantization into this matmul's epilogue so the
+    bf16 intermediate never exists in HBM.
     impl: auto | pallas | xla.  auto = pallas on TPU when the shape tiles,
     else XLA (which still uses the int8 MXU path).
     """
@@ -213,14 +221,32 @@ def int8_dense(
         lead = xq_nd.shape[:-1]
         K = xq_nd.shape[-1]
         xq = xq_nd.reshape(-1, K)
-        xs = xs_nd.reshape(-1, 1)
+        if xs_nd is None:
+            assert in_scale is not None, "static x_prequant needs in_scale"
+            xs = jnp.ones((xq.shape[0], 1), jnp.float32)
+        else:
+            xs = xs_nd.reshape(-1, 1)
     else:
         out_dtype = out_dtype or x.dtype
         lead = x.shape[:-1]
         K = x.shape[-1]
         xq, xs = quantize_rows(x.reshape(-1, K))
     N = w.shape[-1]
+    if in_scale is not None:
+        w = w.astype(jnp.float32) * in_scale.reshape(K, 1)
     wq, ws = quantize_cols(w)
+    if quant_out_scale is not None:
+        # static-out path is elementwise after the dot -> let XLA fuse it
+        assert residual is None
+        acc = jax.lax.dot_general(
+            xq, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        h = acc.astype(jnp.float32) * xs * ws.astype(jnp.float32)
+        if bias is not None:
+            h = h + bias.astype(jnp.float32)
+        h = _apply_act(h, act) / quant_out_scale.reshape(1, N)
+        q = jnp.clip(jnp.rint(h), -127, 127).astype(jnp.int8)
+        return q.reshape(*lead, N)
     res2 = residual.reshape(-1, N) if residual is not None else None
     if impl == "auto":
         if not _on_tpu():

@@ -103,6 +103,22 @@ class TestQuantViT:
         rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
         assert rel < 0.05, rel
 
+    def test_ln_quant_interpret_matches_reference(self):
+        from tokenhmr_tpu.ops.qmatmul import ln_quant
+        rng = np.random.RandomState(7)
+        x = jnp.asarray(rng.randn(2, 16, 256) * 3, jnp.float32)
+        g = jnp.asarray(rng.rand(256) + 0.5, jnp.float32)
+        b = jnp.asarray(rng.randn(256) * 0.1, jnp.float32)
+        q, s = ln_quant(x, g, b, interpret=True)
+        assert q.shape == x.shape and s.shape == (2, 16, 1)
+        # reference LN
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.maximum(jnp.mean(x * x, axis=-1, keepdims=True) - mean**2, 0)
+        y = (x - mean) * jax.lax.rsqrt(var + 1e-6) * g + b
+        deq = q.astype(jnp.float32) * s
+        np.testing.assert_allclose(np.asarray(deq), np.asarray(y),
+                                   atol=float(jnp.max(s)) * 0.51 + 1e-6)
+
     def test_calibrated_static_quant(self):
         """calib pass -> static fc1->fc2 scales ~= dynamic-quant output."""
         import dataclasses

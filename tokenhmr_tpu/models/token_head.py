@@ -75,7 +75,8 @@ class FCBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc")(x)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln")(x).astype(self.dtype)
+        # epsilon=1e-5: torch nn.LayerNorm default (ref modules.py:17)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln")(x).astype(self.dtype)
         return nn.relu(x)
 
 
@@ -101,11 +102,11 @@ class MixerLayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        y = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x).astype(c.dtype)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x).astype(c.dtype)
         y = jnp.swapaxes(y, -1, -2)                       # (B, hidden, tokens)
         y = MLPBlock(c.token_inter_dim, c.token_num, dtype=c.dtype, name="mlp_token")(y)
         y = jnp.swapaxes(y, -1, -2)
-        z = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x + y).astype(c.dtype)
+        z = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x + y).astype(c.dtype)
         z = MLPBlock(c.hidden_inter_dim, c.hidden_dim, dtype=c.dtype, name="mlp_channel")(z)
         return x + y + z
 

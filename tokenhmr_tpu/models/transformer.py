@@ -97,11 +97,11 @@ class TransformerCrossAttn(nn.Module):
     def __call__(self, x, context, deterministic=True):
         c = self.cfg
         for i in range(c.depth):
-            h = nn.LayerNorm(dtype=jnp.float32, name=f"sa_norm{i}")(x).astype(c.dtype)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"sa_norm{i}")(x).astype(c.dtype)
             x = x + _SelfAttention(c, name=f"sa{i}")(h, deterministic)
-            h = nn.LayerNorm(dtype=jnp.float32, name=f"ca_norm{i}")(x).astype(c.dtype)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"ca_norm{i}")(x).astype(c.dtype)
             x = x + _CrossAttention(c, name=f"ca{i}")(h, context, deterministic)
-            h = nn.LayerNorm(dtype=jnp.float32, name=f"ff_norm{i}")(x).astype(c.dtype)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"ff_norm{i}")(x).astype(c.dtype)
             x = x + _FeedForward(c, name=f"ff{i}")(h, deterministic)
         return x
 

@@ -43,6 +43,10 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--quantizer", default="ema_reset",
+                   choices=["ema_reset", "ema", "reset", "orig"],
+                   help="codebook update rule (ref ARCH.QUANTIZER, "
+                        "option_posevq.py; release uses ema_reset)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = p.parse_args(argv)
     if args.platform:
@@ -66,9 +70,10 @@ def main(argv=None):
 
     # --- model / data ----------------------------------------------------
     if args.tiny:
-        cfg = PQ.PoseVQConfig(code_dim=32, nb_code=64, width=64, depth=1)
+        cfg = PQ.PoseVQConfig(code_dim=32, nb_code=64, width=64, depth=1,
+                              quantizer=args.quantizer)
     else:
-        cfg = PQ.PoseVQConfig()
+        cfg = PQ.PoseVQConfig(quantizer=args.quantizer)
     if args.smplh_model:
         smplh = S.load_smpl_model(args.smplh_model)
     else:
@@ -102,6 +107,10 @@ def main(argv=None):
 
     model = PQ.PoseVQ(cfg)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 21, 6)))
+    if args.quantizer == "orig":
+        # trainable codebook rides the param tree (gradients + weight decay)
+        params = dict(params)
+        params["codebook"] = PQ.init_learned_codebook(jax.random.PRNGKey(1), cfg)
     opt_state = optimizer.init(params)
     vq_state = PQ.vq_init_state(cfg)
 

@@ -194,3 +194,21 @@ class TestQuantizerVariants:
 
     def test_registry(self):
         assert set(PQ.QUANTIZER_FORWARDS) == {"ema_reset", "ema", "reset"}
+
+
+class TestQuantizerCLIVariants:
+    """VERDICT r1 #7: each ARCH.QUANTIZER variant reachable from the CLI
+    (ref option_posevq.py:50-68) and converging on a tiny synthetic run."""
+
+    @pytest.mark.parametrize("variant", ["ema_reset", "ema", "reset", "orig"])
+    def test_cli_convergence_smoke(self, variant, tmp_path):
+        import json
+        from cli.train_tokenizer import main
+        out = tmp_path / variant
+        main(["--synthetic", "--tiny", "--platform", "cpu",
+              "--quantizer", variant, "--out-dir", str(out),
+              "--total-iters", "12", "--eval-iters", "6",
+              "--print-iters", "50", "--batch-size", "16"])
+        best = json.loads((out / "best.json").read_text())
+        assert np.isfinite(best["score"]) and best["score"] > 0
+        assert np.isfinite(best["perplexity"])

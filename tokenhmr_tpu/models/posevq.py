@@ -492,13 +492,43 @@ def posevq_forward_train(
     Ref `VanillaTokenizer.forward` (:244-255).
     """
     model = PoseVQ(cfg)
-    z = model.apply(params, pose_6d, method=PoseVQ.encode_latents)
+    model_vars = params
+    if cfg.quantizer == "orig":
+        # 'orig' = learned-embedding quantizer: the codebook is a TRAINABLE
+        # leaf carried at params["codebook"] (gets gradients + weight decay,
+        # like the reference's nn.Embedding, quantize_cnn.py:142-143); the
+        # EMA vq_state only mirrors it for deploy-time encode/decode
+        model_vars = {k: v for k, v in params.items() if k != "codebook"}
+    z = model.apply(model_vars, pose_6d, method=PoseVQ.encode_latents)
     B, T, D = z.shape
-    zq, commit, perp, new_state = vq_ema_reset_forward(
-        vq_state, z.reshape(B * T, D), rng, mu=cfg.mu, training=training
-    )
-    pred = model.apply(params, zq.reshape(B, T, D), method=PoseVQ.decode_latents)
+    zf = z.reshape(B * T, D)
+    if cfg.quantizer == "orig":
+        cb = params["codebook"]
+        zq, commit, perp = vq_learned_forward(cb, zf, training=training)
+        new_state = vq_state._replace(
+            codebook=jax.lax.stop_gradient(cb), initialized=jnp.asarray(True))
+    elif cfg.quantizer == "reset":
+        zq, commit, perp, new_state = vq_reset_forward(
+            vq_state, zf, rng, training=training)
+    elif cfg.quantizer == "ema":
+        zq, commit, perp, new_state = vq_ema_forward(
+            vq_state, zf, rng, mu=cfg.mu, training=training)
+    elif cfg.quantizer == "ema_reset":
+        zq, commit, perp, new_state = vq_ema_reset_forward(
+            vq_state, zf, rng, mu=cfg.mu, training=training)
+    else:
+        raise ValueError(f"unknown quantizer {cfg.quantizer!r} "
+                         "(expected ema_reset | ema | reset | orig)")
+    pred = model.apply(model_vars, zq.reshape(B, T, D), method=PoseVQ.decode_latents)
     return pred, commit, perp, new_state
+
+
+def init_learned_codebook(rng: jax.Array, cfg: PoseVQConfig) -> jax.Array:
+    """uniform(-1/K, 1/K) init for the 'orig' trainable codebook
+    (ref quantize_cnn.py:142-143)."""
+    K = cfg.nb_code
+    return jax.random.uniform(rng, (K, cfg.code_dim), jnp.float32,
+                              -1.0 / K, 1.0 / K)
 
 
 # ---------------------------------------------------------------------------

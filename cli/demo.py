@@ -108,15 +108,32 @@ def main(argv=None):
             print(f"{os.path.basename(img_path)}: no people")
             continue
         if pipeline is not None:
+            from tokenhmr_tpu.ops.projection import weak_perspective_to_translation
+
             out = pipeline(img, boxes[:, :4])
             verts = out["pred_vertices"]
             cam_t = out["pred_cam_t_full"]
-            _render_outputs(args, img, img_path, verts, cam_t, smpl_model, cfg,
-                            crop_size)
+            focal = np.full((len(verts), 2), cfg.focal_length, np.float32)
+            cam_t_crop = np.asarray(weak_perspective_to_translation(
+                jnp.asarray(out["pred_cam"]), jnp.asarray(focal),
+                cfg.image_size))
+            # host-side re-warp of the person crops, for the per-person
+            # visualization panels only (the model path warped on device)
+            centers, scales = bbox_xyxy_to_center_scale(boxes[:, :4])
+            patches = []
+            for c, s in zip(centers, scales):
+                wh = expand_to_aspect_ratio(s * 200.0, (192, 256))
+                size = float(wh.max())
+                patch, _ = generate_image_patch(
+                    img, c[0], c[1], size, size, crop_size, crop_size,
+                    do_flip=False, scale=1.0, rot=0.0)
+                patches.append(patch.astype(np.uint8))
+            _render_outputs(args, img, img_path, verts, cam_t, cam_t_crop,
+                            patches, smpl_model, cfg, crop_size)
             continue
         centers, scales = bbox_xyxy_to_center_scale(boxes[:, :4])
 
-        crops, box_sizes = [], []
+        crops, box_sizes, patches = [], [], []
         for c, s in zip(centers, scales):
             wh = expand_to_aspect_ratio(s * 200.0, (192, 256))
             size = float(wh.max())
@@ -132,6 +149,7 @@ def main(argv=None):
                 src_img, c[0], c[1], size, size, crop_size, crop_size,
                 do_flip=False, scale=1.0, rot=0.0,
             )
+            patches.append(patch.astype(np.uint8))
             crops.append((patch.astype(np.float32) - DEFAULT_MEAN) / DEFAULT_STD)
             box_sizes.append(size)
         crops_np = np.stack(crops)
@@ -141,7 +159,7 @@ def main(argv=None):
         # value must drive BOTH cam_crop_to_full and the renderer
         # (ref demo.py:84-85)
         scaled_focal = cfg.focal_length / crop_size * max(H, W)
-        all_verts, all_cam_t = [], []
+        all_verts, all_cam_t, all_cam_t_crop = [], [], []
         for s0 in range(0, len(crops_np), args.batch_size):
             out = model_forward(params, jnp.asarray(crops_np[s0:s0 + args.batch_size]))
             cam_full = cam_crop_to_full(
@@ -153,14 +171,20 @@ def main(argv=None):
             )
             all_verts.append(np.asarray(out["pred_vertices"]))
             all_cam_t.append(np.asarray(cam_full))
+            all_cam_t_crop.append(np.asarray(out["pred_cam_t"]))
         verts = np.concatenate(all_verts)
         cam_t = np.concatenate(all_cam_t)
-        _render_outputs(args, img, img_path, verts, cam_t, smpl_model, cfg,
-                        crop_size)
+        cam_t_crop = np.concatenate(all_cam_t_crop)
+        _render_outputs(args, img, img_path, verts, cam_t, cam_t_crop,
+                        patches, smpl_model, cfg, crop_size)
 
 
-def _render_outputs(args, img, img_path, verts, cam_t, smpl_model, cfg,
-                    crop_size):
+def _render_outputs(args, img, img_path, verts, cam_t, cam_t_crop, patches,
+                    smpl_model, cfg, crop_size):
+    """Write the reference demo's output files (ref demo.py:97-145):
+    {base}_{person}.png crop panels (input | render [| side view]),
+    {base}_{person}.obj meshes with --save-mesh, and the {base}_all.png
+    full-frame composite."""
     import cv2
 
     from tokenhmr_tpu.utils.render import overlay_mesh_on_image, save_obj
@@ -168,29 +192,34 @@ def _render_outputs(args, img, img_path, verts, cam_t, smpl_model, cfg,
     H, W = img.shape[:2]
     scaled_focal = cfg.focal_length / crop_size * max(H, W)
     base = os.path.splitext(os.path.basename(img_path))[0]
+    rot90 = np.array([[0, 0, 1], [0, 1, 0], [-1, 0, 0]], np.float32)
     composite = img.copy()
     for pi in range(len(verts)):
         v_cam = verts[pi] + cam_t[pi]
         composite = overlay_mesh_on_image(
             composite, v_cam, smpl_model.faces, scaled_focal, alpha=0.9
         )
+        # per-person panel on the model crop (ref demo.py:105-115)
+        patch = patches[pi]
+        panel = [patch]
+        crop_render = overlay_mesh_on_image(
+            patch, verts[pi] + cam_t_crop[pi], smpl_model.faces,
+            cfg.focal_length, alpha=0.9)
+        panel.append(crop_render)
+        if args.side_view:
+            white = np.full_like(patch, 255)
+            panel.append(overlay_mesh_on_image(
+                white, (verts[pi] @ rot90.T) + cam_t_crop[pi],
+                smpl_model.faces, cfg.focal_length, alpha=1.0))
+        cv2.imwrite(os.path.join(args.out_folder, f"{base}_{pi}.png"),
+                    np.concatenate(panel, axis=1)[:, :, ::-1])
         if args.save_mesh:
             save_obj(os.path.join(args.out_folder, f"{base}_{pi}.obj"),
-                     verts[pi], smpl_model.faces)
-    cv2.imwrite(os.path.join(args.out_folder, f"{base}_overlay.png"),
+                     verts[pi] + cam_t[pi], smpl_model.faces)
+    cv2.imwrite(os.path.join(args.out_folder, f"{base}_all.png"),
                 composite[:, :, ::-1])
-    if args.side_view:
-        side = np.full_like(img, 255)
-        rot90 = np.array([[0, 0, 1], [0, 1, 0], [-1, 0, 0]], np.float32)
-        for pi in range(len(verts)):
-            v_side = (verts[pi] @ rot90.T) + cam_t[pi]
-            side = overlay_mesh_on_image(
-                side, v_side, smpl_model.faces, scaled_focal, alpha=1.0
-            )
-        cv2.imwrite(os.path.join(args.out_folder, f"{base}_side.png"),
-                    side[:, :, ::-1])
     print(f"{os.path.basename(img_path)}: {len(verts)} people -> "
-          f"{base}_overlay.png")
+          f"{base}_all.png")
 
 
 if __name__ == "__main__":

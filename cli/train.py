@@ -67,28 +67,32 @@ def tar_batch_iter(args, img_size, smpl_model=None):
     from tokenhmr_tpu.ops.rotations import axis_angle_to_matrix
     from tokenhmr_tpu.utils.configs import TRAIN_DATASET_WEIGHTS
 
-    names, weights, streams = [], [], []
     spec = json.loads(args.dataset_spec) if args.dataset_spec else {
         k: {"urls": f"{k.lower()}-{{000000..000099}}.tar", "weight": w}
         for k, w in TRAIN_DATASET_WEIGHTS.items()
     }
-    for name, entry in spec.items():
-        cfg = TarDatasetConfig(
-            urls=os.path.join(args.data_dir, entry["urls"]),
-            dataset_name=name, train=True, img_size=img_size,
-            amass_hist_path=args.amass_hist,
-        )
-        is_bedlam = entry.get("type", "").lower() == "bedlam" or name == "BEDLAM"
-        if is_bedlam and smpl_model is not None:
-            streams.append(BedlamTarDataset(
-                cfg, smpl_model, process_index=jax.process_index(),
-                process_count=jax.process_count()))
-        else:
-            streams.append(TarPoseDataset(
-                cfg, jax.process_index(), jax.process_count()))
-        names.append(name)
-        weights.append(entry.get("weight", 1.0))
-    mixed = MixedTarDataset(streams, weights)
+    pidx, pcnt = jax.process_index(), jax.process_count()
+
+    def make_mixed(worker_idx: int = 0, num_workers: int = 1):
+        """Build the weighted mixture for one loader worker: worker w of W
+        on host p of P owns shard subset p*W+w of P*W (wds split_by_node +
+        split_by_worker)."""
+        idx, cnt = pidx * num_workers + worker_idx, pcnt * num_workers
+        streams, weights = [], []
+        for name, entry in spec.items():
+            cfg = TarDatasetConfig(
+                urls=os.path.join(args.data_dir, entry["urls"]),
+                dataset_name=name, train=True, img_size=img_size,
+                amass_hist_path=args.amass_hist,
+            )
+            is_bedlam = entry.get("type", "").lower() == "bedlam" or name == "BEDLAM"
+            if is_bedlam and smpl_model is not None:
+                streams.append(BedlamTarDataset(
+                    cfg, smpl_model, process_index=idx, process_count=cnt))
+            else:
+                streams.append(TarPoseDataset(cfg, idx, cnt))
+            weights.append(entry.get("weight", 1.0))
+        return MixedTarDataset(streams, weights, seed=worker_idx)
 
     valid_3d_names = {"H36M-TRAIN-WMASK", "BEDLAM"}
 
@@ -108,7 +112,22 @@ def tar_batch_iter(args, img_size, smpl_model=None):
         b.pop("imgname", None)
         return b
 
-    for b in batched(iter(mixed), args.batch_size, prefetch=args.prefetch):
+    workers = getattr(args, "loader_workers", 0)
+    mode = getattr(args, "loader", "procs")
+    if workers > 0 and mode == "procs":
+        from tokenhmr_tpu.data.loader import mp_batched
+
+        src = mp_batched(make_mixed, args.batch_size,
+                         num_workers=workers, prefetch=args.prefetch)
+    elif workers > 0 and mode == "threads":
+        from tokenhmr_tpu.data.loader import parallel_batched
+
+        src = parallel_batched(make_mixed(), args.batch_size,
+                               num_workers=workers, prefetch=args.prefetch)
+    else:
+        src = batched(iter(make_mixed()), args.batch_size,
+                      prefetch=args.prefetch)
+    for b in src:
         yield add_contract(b)
 
 
@@ -138,6 +157,14 @@ def main(argv=None):
     p.add_argument("--render-steps", type=int, default=0,
                    help="save a prediction grid PNG every N steps (0=off)")
     p.add_argument("--prefetch", type=int, default=2)
+    p.add_argument("--loader-workers", type=int, default=6,
+                   help="parallel decode/augment workers (0 = single-thread "
+                        "loader; ref uses 6 DataLoader workers per GPU)")
+    p.add_argument("--loader", default="procs",
+                   choices=["procs", "threads", "serial"],
+                   help="worker pool type: procs = fork per worker with "
+                        "split-by-worker shards (fastest); threads = shared "
+                        "stream, GIL-limited; serial = one thread")
     p.add_argument("--n-fsdp", type=int, default=1)
     p.add_argument("--n-model", type=int, default=1)
     p.add_argument("--cls-id", type=int, default=0,
@@ -249,12 +276,20 @@ def main(argv=None):
         bs = batch_sharding(mesh)
         metrics_path = os.path.join(args.out_dir, "metrics.jsonl")
         os.makedirs(args.out_dir, exist_ok=True)
+
+        # double-buffered H2D: batch N+1's transfer rides under step N
+        from tokenhmr_tpu.data.loader import device_prefetch
+
+        def put_batch(b):
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(jnp.asarray(x), bs)
+                if hasattr(x, "shape") and np.ndim(x) > 0 else x, b)
+
+        dev_batches = device_prefetch(batches, put_batch, depth=2)
+
         t0 = time.time()
         for step in range(start, args.total_steps):
-            batch = next(batches)
-            batch = jax.tree_util.tree_map(
-                lambda x: jax.device_put(jnp.asarray(x), bs)
-                if hasattr(x, "shape") and np.ndim(x) > 0 else x, batch)
+            batch = next(dev_batches)
             rng = jax.random.PRNGKey(step)
             if adversarial:
                 mocap = jax.tree_util.tree_map(

@@ -50,8 +50,12 @@ def expand_urls(pattern: str) -> List[str]:
     return out
 
 
-def iter_tar_samples(path: str) -> Iterator[Dict[str, Any]]:
-    """Group tar members by key and decode (ref wds .decode('rgb8'))."""
+def iter_tar_samples(path: str, decode_images: bool = True
+                     ) -> Iterator[Dict[str, Any]]:
+    """Group tar members by key and decode (ref wds .decode('rgb8')).
+
+    decode_images=False keeps the raw jpg bytes ('jpg_bytes') so the
+    expensive imdecode can run in the parallel loader's worker pool."""
     with tarfile.open(path, "r|*") as tf:
         current_key = None
         sample: Dict[str, Any] = {}
@@ -67,8 +71,12 @@ def iter_tar_samples(path: str) -> Iterator[Dict[str, Any]]:
             current_key = key
             raw = tf.extractfile(member).read()
             if ext in ("jpg", "jpeg", "png"):
-                img = cv2.imdecode(np.frombuffer(raw, np.uint8), cv2.IMREAD_COLOR)
-                sample["jpg"] = img[:, :, ::-1]  # rgb8
+                if decode_images:
+                    img = cv2.imdecode(np.frombuffer(raw, np.uint8),
+                                       cv2.IMREAD_COLOR)
+                    sample["jpg"] = img[:, :, ::-1]  # rgb8
+                else:
+                    sample["jpg_bytes"] = raw
                 sample["__key__"] = key
             elif ext == "data.pyd":
                 sample["data.pyd"] = pickle.loads(raw)
@@ -125,15 +133,30 @@ class TarPoseDataset:
         datas = sample.get("data.pyd", [])
         if isinstance(datas, dict):
             datas = [datas]
+        img = sample.get("jpg")
         for data in datas:
             if "detection.npz" in sample and "extra_info" in data and \
                     "detection_npz_idx" in data.get("extra_info", {}):
                 det_idx = data["extra_info"]["detection_npz_idx"]
                 mask = sample["detection.npz"]["masks"][det_idx]
+            elif img is not None:
+                mask = np.ones(img.shape[:2], bool)
             else:
-                mask = np.ones(sample["jpg"].shape[:2], bool)
-            yield {"__key__": sample["__key__"], "jpg": sample["jpg"],
+                mask = None  # filled by _decode once the image exists
+            yield {"__key__": sample["__key__"], "jpg": img,
+                   "jpg_bytes": sample.get("jpg_bytes"),
                    "data": dict(data), "mask": mask}
+
+    def _decode(self, person: Dict) -> Dict:
+        """Decode deferred jpg bytes (runs in the loader's worker pool)."""
+        if person.get("jpg") is None:
+            img = cv2.imdecode(np.frombuffer(person["jpg_bytes"], np.uint8),
+                               cv2.IMREAD_COLOR)
+            person["jpg"] = img[:, :, ::-1]
+        person.pop("jpg_bytes", None)
+        if person.get("mask") is None:
+            person["mask"] = np.ones(person["jpg"].shape[:2], bool)
+        return person
 
     # --- filter/suppress stack (ref :391-424) -----------------------------
     def _apply_filters(self, person: Dict) -> Optional[Dict]:
@@ -167,8 +190,11 @@ class TarPoseDataset:
         return person
 
     # --- crop/augment into a training item (ref :443-533) -----------------
-    def _process(self, person: Dict) -> Dict:
+    def _process(self, person: Dict, rng=None) -> Dict:
+        """rng: per-worker numpy Generator override — self.rng is NOT
+        thread-safe, so the parallel loader passes its own (data/loader.py)."""
         c = self.cfg
+        rng = rng if rng is not None else self.rng
         data = person["data"]
         image = person["jpg"]
         mask = person["mask"]
@@ -202,7 +228,7 @@ class TarPoseDataset:
             smpl_params, has_smpl,
             patch_width=c.img_size, patch_height=c.img_size,
             mean=mean4, std=std4,
-            do_augment=c.train, augm_config=c.augm, rng=self.rng,
+            do_augment=c.train, augm_config=c.augm, rng=rng,
         )
         img_patch = patch[:, :, :3]
         mask_patch = np.clip(patch[:, :, 3], 0, 1)
@@ -222,7 +248,11 @@ class TarPoseDataset:
             "dataset": c.dataset_name,
         }
 
-    def __iter__(self) -> Iterator[Dict]:
+    def iter_raw(self) -> Iterator[Dict]:
+        """Raw per-person stream: tar read + split + corrupt skip + shuffle
+        buffer, WITHOUT the filter/augment work — that runs in the parallel
+        loader's worker pool (data/loader.py).  Each yielded person carries
+        no shared mutable state, so filters+process are thread-safe."""
         c = self.cfg
         buf: List[Dict] = []
         while True:  # resampled infinite stream (ref resampled=True)
@@ -230,25 +260,22 @@ class TarPoseDataset:
             self.rng.shuffle(urls)
             for url in urls:
                 try:
-                    samples = iter_tar_samples(url)
+                    samples = iter_tar_samples(url, decode_images=False)
                     for sample in samples:
                         if sample.get("__key__") in c.corrupt_keys:
                             continue
-                        if "jpg" not in sample or "data.pyd" not in sample:
+                        if ("jpg" not in sample and "jpg_bytes" not in sample) \
+                                or "data.pyd" not in sample:
                             continue
                         for person in self._split(sample):
-                            person = self._apply_filters(person)
-                            if person is None:
-                                continue
-                            item = self._process(person)
                             if c.shuffle_buffer > 1 and c.train:
-                                buf.append(item)
+                                buf.append(person)
                                 if len(buf) >= c.shuffle_buffer:
                                     idx = self.rng.integers(len(buf))
                                     buf[idx], buf[-1] = buf[-1], buf[idx]
                                     yield buf.pop()
                             else:
-                                yield item
+                                yield person
                 except (tarfile.TarError, EOFError, OSError) as e:
                     # corrupt-shard skip (ref CORRUPT_TARS handling)
                     print(f"[tar_dataset] skipping shard {url}: {e}")
@@ -257,6 +284,13 @@ class TarPoseDataset:
                 for item in buf:
                     yield item
                 return
+
+    def __iter__(self) -> Iterator[Dict]:
+        for person in self.iter_raw():
+            person = self._apply_filters(self._decode(person))
+            if person is None:
+                continue
+            yield self._process(person)
 
 
 class BedlamTarDataset(TarPoseDataset):
@@ -275,16 +309,30 @@ class BedlamTarDataset(TarPoseDataset):
     def _split(self, sample: Dict) -> Iterator[Dict]:
         key = sample.get("__key__", "")
         closeup = "closeup" in key
-        if closeup:
+        if closeup and sample.get("jpg") is not None:
             sample = dict(sample)
             sample["jpg"] = np.ascontiguousarray(
                 np.rot90(sample["jpg"], k=-1))  # ROTATE_90_CLOCKWISE
         for person in super()._split(sample):
             if closeup:
-                # the detection mask must follow the image rotation
-                # (ref bedlam_dataset_tar.py:147-149 transposes it)
-                person["mask"] = np.ascontiguousarray(person["mask"].T)
+                if person.get("jpg") is None:
+                    person["_closeup_rotate"] = True  # applied in _decode
+                if person["mask"] is not None:
+                    # the detection mask must follow the image rotation
+                    # (ref bedlam_dataset_tar.py:147-149 transposes it)
+                    person["mask"] = np.ascontiguousarray(person["mask"].T)
             yield person
+
+    def _decode(self, person: Dict) -> Dict:
+        rotate = person.pop("_closeup_rotate", False)
+        had_img = person.get("jpg") is not None
+        person = super()._decode(person)
+        if rotate and not had_img:
+            person["jpg"] = np.ascontiguousarray(np.rot90(person["jpg"], k=-1))
+            person["mask"] = np.ones(person["jpg"].shape[:2], bool) \
+                if person["mask"].shape != person["jpg"].shape[:2] \
+                else person["mask"]
+        return person
 
     def _apply_filters(self, person: Dict) -> Optional[Dict]:
         d = person["data"]
@@ -335,6 +383,7 @@ class MixedTarDataset:
 
     def __init__(self, datasets: Sequence[TarPoseDataset],
                  weights: Sequence[float], seed: int = 0):
+        self.datasets = list(datasets)
         self.iters = [iter(d) for d in datasets]
         w = np.asarray(weights, np.float64)
         self.probs = w / w.sum()
@@ -344,6 +393,16 @@ class MixedTarDataset:
         while True:
             i = int(self.rng.choice(len(self.iters), p=self.probs))
             yield next(self.iters[i])
+
+    def iter_raw(self) -> Iterator[tuple]:
+        """Weighted mix of (dataset, raw person) pairs for the parallel
+        loader — the dataset tag routes each item to its own filter/augment
+        implementation (e.g. BedlamTarDataset) in the worker pool."""
+        raw = [d.iter_raw() for d in self.datasets]
+        rng = np.random.default_rng(int(self.rng.integers(2 ** 31)))
+        while True:
+            i = int(rng.choice(len(raw), p=self.probs))
+            yield self.datasets[i], next(raw[i])
 
 
 def batched(source: Iterator[Dict], batch_size: int,

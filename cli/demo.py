@@ -35,7 +35,9 @@ def main(argv=None):
     p.add_argument("--smpl-model", default=None)
     p.add_argument("--joint-regressor-extra", default=None)
     p.add_argument("--detector", default="full_frame",
-                   choices=["full_frame", "file", "hog"])
+                   choices=["full_frame", "file", "hog", "nn"])
+    p.add_argument("--detector-ckpt", default=None,
+                   help="npz from cli/train_detector.py (--detector nn)")
     p.add_argument("--boxes-file", default=None)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--side-view", action="store_true")
@@ -90,7 +92,8 @@ def main(argv=None):
 
         pipeline = FullFramePipeline(params, frozen, cfg, smpl_model)
 
-    detector = make_detector(args.detector, args.boxes_file)
+    detector = make_detector(args.detector, args.boxes_file,
+                             ckpt=args.detector_ckpt)
     os.makedirs(args.out_folder, exist_ok=True)
 
     exts = ("*.jpg", "*.jpeg", "*.png")

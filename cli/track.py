@@ -33,7 +33,9 @@ def main(argv=None):
     p.add_argument("--tokenizer-checkpoint", default=None)
     p.add_argument("--smpl-model", default=None)
     p.add_argument("--detector", default="full_frame",
-                   choices=["full_frame", "file", "hog"])
+                   choices=["full_frame", "file", "hog", "nn"])
+    p.add_argument("--detector-ckpt", default=None,
+                   help="npz from cli/train_detector.py (--detector nn)")
     p.add_argument("--boxes-file", default=None)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--max-frames", type=int, default=0)
@@ -77,7 +79,8 @@ def main(argv=None):
                 out["pred_smpl_params"]["betas"],
                 out["pred_smpl_params"]["body_pose"])
 
-    detector = make_detector(args.detector, args.boxes_file)
+    detector = make_detector(args.detector, args.boxes_file,
+                             ckpt=args.detector_ckpt)
     tracker = IoUTracker()
     os.makedirs(args.out_folder, exist_ok=True)
 

@@ -1,0 +1,120 @@
+"""Person-detector training CLI (CenterNet-lite, models/detector.py).
+
+Replaces the training side of the reference's detectron2 ViTDet dependency
+(ref demo.py:40-49) with a self-contained loop.  Data:
+  * default: procedural articulated-human composites
+    (tokenhmr_tpu/data/synth_people.py) — no downloads needed
+  * --data-npz: real data as npz {images (N,S,S,3) uint8, boxes: object
+    array of (ni,4) xyxy} for COCO-person-style training
+
+Usage:
+  python -m cli.train_detector --out /tmp/det.npz --steps 2000
+Smoke:
+  python -m cli.train_detector --out /tmp/det.npz --tiny --platform cpu \
+      --steps 30
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def batch_stream(cfg, batch_size, seed=0, data_npz=None):
+    from tokenhmr_tpu.data.synth_people import make_composite
+    from tokenhmr_tpu.models.detector import splat_targets
+
+    if data_npz:
+        d = np.load(data_npz, allow_pickle=True)
+        images, boxes = d["images"], d["boxes"]
+        rng = np.random.default_rng(seed)
+        while True:
+            idx = rng.integers(0, len(images), batch_size)
+            imgs = images[idx].astype(np.float32) / 255.0
+            tgts = [splat_targets(boxes[i], cfg) for i in idx]
+            yield imgs, {k: np.stack([t[k] for t in tgts]) for k in tgts[0]}
+    else:
+        rng = np.random.default_rng(seed)
+        while True:
+            imgs, tgts = [], []
+            for _ in range(batch_size):
+                img, bx = make_composite(rng, cfg.img_size)
+                imgs.append(img.astype(np.float32) / 255.0)
+                tgts.append(splat_targets(bx, cfg))
+            yield (np.stack(imgs),
+                   {k: np.stack([t[k] for t in tgts]) for k in tgts[0]})
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out", required=True, help="output checkpoint .npz")
+    p.add_argument("--steps", type=int, default=4000)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--img-size", type=int, default=256)
+    p.add_argument("--base", type=int, default=32)
+    p.add_argument("--data-npz", default=None)
+    p.add_argument("--log-steps", type=int, default=50)
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    args = p.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import optax
+
+    from tokenhmr_tpu.models.detector import (
+        DetectorConfig, PersonDetector, detector_loss,
+    )
+    from tokenhmr_tpu.train.checkpoint import save_detector_checkpoint
+
+    if args.tiny:
+        cfg = DetectorConfig(img_size=64, base=8)
+    else:
+        cfg = DetectorConfig(img_size=args.img_size, base=args.base)
+
+    model = PersonDetector(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, cfg.img_size, cfg.img_size, 3)))["params"]
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"detector params: {n_params/1e6:.2f}M, input {cfg.img_size}")
+
+    opt = optax.adam(optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, min(200, args.steps // 10 + 1), args.steps))
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, imgs, tgt):
+        def loss_fn(p):
+            out = model.apply({"params": p}, imgs, train=True)
+            return detector_loss(out, tgt)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, metrics
+
+    stream = batch_stream(cfg, args.batch_size, data_npz=args.data_npz)
+    t0 = time.time()
+    for it in range(args.steps):
+        imgs, tgt = next(stream)
+        params, opt_state, metrics = step(
+            params, opt_state, jnp.asarray(imgs),
+            jax.tree_util.tree_map(jnp.asarray, tgt))
+        if it % args.log_steps == 0:
+            m = {k: round(float(v), 4) for k, v in metrics.items()}
+            rate = (it + 1) * args.batch_size / (time.time() - t0)
+            print(f"step {it}: {m} ({rate:.0f} img/s)", flush=True)
+
+    save_detector_checkpoint(args.out, params, cfg)
+    print(f"saved {args.out}")
+
+
+if __name__ == "__main__":
+    main()

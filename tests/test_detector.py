@@ -1,0 +1,117 @@
+"""Learned person detector: decode correctness, loss convergence (overfit),
+NNDetector end-to-end via the checkpoint roundtrip."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from tokenhmr_tpu.models.detector import (
+    DetectorConfig, PersonDetector, decode_detections, detector_loss,
+    splat_targets,
+)
+
+
+class TestDecode:
+    def test_splat_and_decode_roundtrip(self):
+        """A synthetic ideal network output decodes back to the gt box."""
+        cfg = DetectorConfig(img_size=64, base=8, max_det=4)
+        box = np.array([[12.0, 20.0, 44.0, 60.0]])
+        tgt = splat_targets(box, cfg)
+        # build ideal logits from targets: +10 at peak, -10 elsewhere
+        heat = np.where(tgt["mask"] > 0, 10.0, -10.0)[None, ..., None]
+        out = {"heat": jnp.asarray(heat),
+               "wh": jnp.asarray(tgt["wh"][None]),
+               "off": jnp.asarray(tgt["off"][None])}
+        boxes, scores = decode_detections(out, cfg)
+        assert float(scores[0, 0]) > 0.99
+        np.testing.assert_allclose(np.asarray(boxes[0, 0]), box[0], atol=1.0)
+        assert float(scores[0, 1]) < 0.01  # single detection only
+
+    def test_two_people(self):
+        cfg = DetectorConfig(img_size=64, base=8, max_det=4)
+        gt = np.array([[4.0, 4.0, 24.0, 40.0], [36.0, 20.0, 60.0, 62.0]])
+        tgt = splat_targets(gt, cfg)
+        heat = np.where(tgt["mask"] > 0, 10.0, -10.0)[None, ..., None]
+        out = {"heat": jnp.asarray(heat), "wh": jnp.asarray(tgt["wh"][None]),
+               "off": jnp.asarray(tgt["off"][None])}
+        boxes, scores = decode_detections(out, cfg)
+        got = np.asarray(boxes[0][np.asarray(scores[0]) > 0.5])
+        assert len(got) == 2
+        # match by center x
+        got = got[np.argsort(got[:, 0])]
+        np.testing.assert_allclose(got, gt, atol=1.0)
+
+
+class TestTraining:
+    def test_overfit_tiny(self):
+        """Loss decreases and the trained net finds the memorized people."""
+        import optax
+        from tokenhmr_tpu.data.synth_people import make_composite
+
+        cfg = DetectorConfig(img_size=64, base=8, max_det=4)
+        rng = np.random.default_rng(0)
+        imgs, tgts, gts = [], [], []
+        for _ in range(8):
+            img, bx = make_composite(rng, 64, max_people=1)
+            imgs.append(img.astype(np.float32) / 255.0)
+            tgts.append(splat_targets(bx, cfg))
+            gts.append(bx)
+        imgs = jnp.asarray(np.stack(imgs))
+        tgt = {k: jnp.asarray(np.stack([t[k] for t in tgts]))
+               for k in tgts[0]}
+
+        model = PersonDetector(cfg)
+        params = model.init(jax.random.PRNGKey(0), imgs[:1])["params"]
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            def loss_fn(p):
+                return detector_loss(model.apply({"params": p}, imgs), tgt)
+            (_, m), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            u, opt_state2 = opt.update(g, opt_state, params)
+            return optax.apply_updates(params, u), opt_state2, m
+
+        first = None
+        for it in range(150):
+            params, opt_state, m = step(params, opt_state)
+            if first is None:
+                first = float(m["total"])
+        last = float(m["total"])
+        assert last < first * 0.5, (first, last)
+
+        boxes, scores = decode_detections(
+            model.apply({"params": params}, imgs), cfg)
+        # top detection overlaps the gt on most memorized images
+        hits = 0
+        for i, gt in enumerate(gts):
+            if len(gt) == 0:
+                continue
+            b = np.asarray(boxes[i, 0])
+            g = gt[0]
+            ix = max(0, min(b[2], g[2]) - max(b[0], g[0]))
+            iy = max(0, min(b[3], g[3]) - max(b[1], g[1]))
+            inter = ix * iy
+            union = ((b[2]-b[0])*(b[3]-b[1]) + (g[2]-g[0])*(g[3]-g[1]) - inter)
+            if inter / max(union, 1e-6) > 0.3:
+                hits += 1
+        assert hits >= len(gts) // 2, hits
+
+
+class TestNNDetector:
+    def test_checkpoint_roundtrip_and_interface(self, tmp_path):
+        from tokenhmr_tpu.data.detect import make_detector
+        from tokenhmr_tpu.train.checkpoint import save_detector_checkpoint
+
+        cfg = DetectorConfig(img_size=64, base=8)
+        model = PersonDetector(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)))["params"]
+        path = str(tmp_path / "det.npz")
+        save_detector_checkpoint(path, params, cfg)
+        det = make_detector("nn", ckpt=path)
+        out = det(np.zeros((100, 140, 3), np.uint8))
+        assert out.shape[1] == 5  # (N, xyxy+score) contract

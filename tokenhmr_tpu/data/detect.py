@@ -77,10 +77,19 @@ class FileBoxSource:
 
 
 class HogDetector:
-    """OpenCV HOG people detector (CPU fallback; no native CUDA deps)."""
+    """OpenCV HOG people detector (CPU fallback; no native CUDA deps).
+
+    Only available on OpenCV < 5 — cv2 5.0 removed HOGDescriptor (and the
+    pretrained Dalal-Triggs SVM with it).  Use the learned `NNDetector`
+    instead on modern builds."""
 
     def __init__(self, score_thresh: float = 0.3, iou_thresh: float = 0.5):
         assert cv2 is not None
+        if not hasattr(cv2, "HOGDescriptor"):
+            raise RuntimeError(
+                "cv2.HOGDescriptor was removed in OpenCV 5; use "
+                "--detector nn (learned, tokenhmr_tpu/models/detector.py) "
+                "or --detector full_frame / file")
         self.hog = cv2.HOGDescriptor()
         self.hog.setSVMDetector(cv2.HOGDescriptor_getDefaultPeopleDetector())
         self.score_thresh = score_thresh
@@ -102,7 +111,61 @@ class HogDetector:
         return np.concatenate([boxes[keep], scores[keep, None]], axis=1)
 
 
-def make_detector(kind: str, boxes_file: Optional[str] = None) -> Detector:
+class NNDetector:
+    """Learned CenterNet-style person detector (models/detector.py).
+
+    Replaces the reference's detectron2 ViTDet (ref demo.py:40-49).
+    Letterboxes to the model's square input, runs ONE jitted
+    forward+decode, maps boxes back to source pixels, NMS + threshold.
+    """
+
+    def __init__(self, ckpt_path: str, score_thresh: float = 0.35,
+                 iou_thresh: float = 0.5):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.detector import (
+            DetectorConfig, PersonDetector, decode_detections,
+        )
+        from ..train.checkpoint import load_detector_checkpoint
+
+        self.params, self.cfg = load_detector_checkpoint(ckpt_path)
+        self.score_thresh = score_thresh
+        self.iou_thresh = iou_thresh
+        model = PersonDetector(self.cfg)
+        cfg = self.cfg
+
+        @jax.jit
+        def run(params, img):   # img (1, S, S, 3) float in [0, 1]
+            out = model.apply({"params": params}, img)
+            return decode_detections(out, cfg)
+
+        self._run = run
+        self._jnp = jnp
+
+    def __call__(self, img: np.ndarray) -> np.ndarray:
+        S = self.cfg.img_size
+        h, w = img.shape[:2]
+        scale = S / max(h, w)
+        nh, nw = int(round(h * scale)), int(round(w * scale))
+        resized = cv2.resize(img, (nw, nh))
+        canvas = np.zeros((S, S, 3), np.uint8)
+        canvas[:nh, :nw] = resized
+        x = self._jnp.asarray(canvas[None].astype(np.float32) / 255.0)
+        boxes, scores = self._run(self.params, x)
+        boxes = np.asarray(boxes[0]) / scale
+        scores = np.asarray(scores[0])
+        keep = scores >= self.score_thresh
+        boxes, scores = boxes[keep], scores[keep]
+        boxes[:, 0::2] = boxes[:, 0::2].clip(0, w)
+        boxes[:, 1::2] = boxes[:, 1::2].clip(0, h)
+        keep = nms_xyxy(boxes, scores, self.iou_thresh)
+        return np.concatenate(
+            [boxes[keep], scores[keep, None]], axis=1).astype(np.float32)
+
+
+def make_detector(kind: str, boxes_file: Optional[str] = None,
+                  ckpt: Optional[str] = None) -> Detector:
     if kind == "full_frame":
         return FullFrameDetector()
     if kind == "file":
@@ -110,4 +173,8 @@ def make_detector(kind: str, boxes_file: Optional[str] = None) -> Detector:
         return FileBoxSource(boxes_file)
     if kind == "hog":
         return HogDetector()
-    raise ValueError(f"unknown detector {kind!r} (full_frame | file | hog)")
+    if kind == "nn":
+        assert ckpt, "--detector-ckpt required for the nn detector"
+        return NNDetector(ckpt)
+    raise ValueError(
+        f"unknown detector {kind!r} (full_frame | file | hog | nn)")

@@ -1,0 +1,158 @@
+"""Procedural articulated-human composites for detector training.
+
+The container has no pretrained person detector and the SMPL template mesh
+is registration-gated, so detector training data is generated procedurally:
+a 3D kinematic stick figure with anthropometric proportions (public-domain
+averages), random joint angles within physiological limits, a random FULL
+3D global rotation (so inverted/climbing/lying poses are in-distribution —
+exactly where upright-only HOG fails), orthographic projection, and
+capsule-limb rendering over cluttered random backgrounds.
+
+Replaces the role of COCO-person data for `cli/train_detector.py` when no
+real data is supplied; pass real images+boxes npz for production training.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+# skeleton: name -> (parent, offset in T-pose, unit height ~1.0)
+_SKEL: Dict[str, Tuple[str, Tuple[float, float, float]]] = {
+    "pelvis":    ("",          (0.0, 0.0, 0.0)),
+    "spine":     ("pelvis",    (0.0, 0.15, 0.0)),
+    "chest":     ("spine",     (0.0, 0.15, 0.0)),
+    "neck":      ("chest",     (0.0, 0.10, 0.0)),
+    "head":      ("neck",      (0.0, 0.12, 0.0)),
+    "l_shoulder": ("chest",    (0.11, 0.05, 0.0)),
+    "r_shoulder": ("chest",    (-0.11, 0.05, 0.0)),
+    "l_elbow":   ("l_shoulder", (0.16, 0.0, 0.0)),
+    "r_elbow":   ("r_shoulder", (-0.16, 0.0, 0.0)),
+    "l_wrist":   ("l_elbow",   (0.15, 0.0, 0.0)),
+    "r_wrist":   ("r_elbow",   (-0.15, 0.0, 0.0)),
+    "l_hip":     ("pelvis",    (0.07, -0.03, 0.0)),
+    "r_hip":     ("pelvis",    (-0.07, -0.03, 0.0)),
+    "l_knee":    ("l_hip",     (0.0, -0.22, 0.0)),
+    "r_knee":    ("r_hip",     (0.0, -0.22, 0.0)),
+    "l_ankle":   ("l_knee",    (0.0, -0.22, 0.0)),
+    "r_ankle":   ("r_knee",    (0.0, -0.22, 0.0)),
+}
+_NAMES = list(_SKEL)
+_IDX = {n: i for i, n in enumerate(_NAMES)}
+# (joint, max random rotation angle in rad) — rough physiological ranges
+_LIMITS = {
+    "spine": 0.4, "chest": 0.3, "neck": 0.5, "head": 0.3,
+    "l_shoulder": 1.5, "r_shoulder": 1.5, "l_elbow": 1.4, "r_elbow": 1.4,
+    "l_hip": 1.2, "r_hip": 1.2, "l_knee": 1.3, "r_knee": 1.3,
+}
+# capsule segments: (a, b, thickness rel. to height)
+_LIMBS = [
+    ("pelvis", "spine", 0.10), ("spine", "chest", 0.11),
+    ("chest", "neck", 0.06),
+    ("l_shoulder", "l_elbow", 0.035), ("l_elbow", "l_wrist", 0.03),
+    ("r_shoulder", "r_elbow", 0.035), ("r_elbow", "r_wrist", 0.03),
+    ("l_hip", "l_knee", 0.05), ("l_knee", "l_ankle", 0.04),
+    ("r_hip", "r_knee", 0.05), ("r_knee", "r_ankle", 0.04),
+]
+
+
+def _rotmat(axis: np.ndarray, angle: float) -> np.ndarray:
+    axis = axis / (np.linalg.norm(axis) + 1e-9)
+    K = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    return np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * (K @ K)
+
+
+def sample_pose_joints(rng: np.random.Generator) -> np.ndarray:
+    """Random articulated pose + full random global rotation -> (J, 3)."""
+    rots = {}
+    for n in _NAMES:
+        lim = _LIMITS.get(n, 0.0)
+        if lim > 0:
+            axis = rng.normal(size=3)
+            rots[n] = _rotmat(axis, rng.uniform(-lim, lim))
+        else:
+            rots[n] = np.eye(3)
+    glob = _rotmat(rng.normal(size=3), rng.uniform(0, 2 * np.pi))
+    pos = np.zeros((len(_NAMES), 3))
+    glob_rot = {"pelvis": glob @ rots["pelvis"]}
+    for n in _NAMES[1:]:
+        parent, off = _SKEL[n]
+        R = glob_rot[parent] @ rots[n]
+        glob_rot[n] = R
+        pos[_IDX[n]] = pos[_IDX[parent]] + glob_rot[parent] @ np.asarray(off)
+    return pos
+
+
+def _random_background(rng, size: int) -> np.ndarray:
+    img = np.zeros((size, size, 3), np.uint8)
+    c0 = rng.integers(0, 255, 3)
+    c1 = rng.integers(0, 255, 3)
+    t = np.linspace(0, 1, size)[:, None]
+    grad = (c0[None, None] * (1 - t[:, :, None]) + c1[None, None] * t[:, :, None])
+    img[:] = grad.astype(np.uint8)
+    for _ in range(int(rng.integers(3, 12))):  # clutter
+        color = tuple(int(v) for v in rng.integers(0, 255, 3))
+        kind = rng.integers(3)
+        if kind == 0:
+            cv2.rectangle(img, tuple(rng.integers(0, size, 2)),
+                          tuple(rng.integers(0, size, 2)), color, -1)
+        elif kind == 1:
+            cv2.circle(img, tuple(rng.integers(0, size, 2)),
+                       int(rng.integers(4, size // 3)), color, -1)
+        else:
+            cv2.line(img, tuple(rng.integers(0, size, 2)),
+                     tuple(rng.integers(0, size, 2)), color,
+                     int(rng.integers(1, 8)))
+    noise = rng.normal(0, rng.uniform(2, 14), img.shape)
+    return np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+
+
+def draw_person(img: np.ndarray, joints3d: np.ndarray, center_px, height_px,
+                rng) -> np.ndarray:
+    """Orthographic projection + capsule rendering; returns xyxy bbox."""
+    xy = joints3d[:, :2].copy()
+    xy[:, 1] *= -1  # image y down
+    span = xy[:, 1].max() - xy[:, 1].min() + 1e-6
+    pts = xy * (height_px / span) + np.asarray(center_px)
+    base = rng.integers(40, 220, 3)
+    skin = np.clip(base + rng.integers(-30, 30, 3), 0, 255)
+    head_r = max(2, int(0.09 * height_px))
+    for a, b, th in _LIMBS:
+        color = tuple(int(v) for v in np.clip(
+            base + rng.integers(-25, 25, 3), 0, 255))
+        pa = tuple(np.round(pts[_IDX[a]]).astype(int))
+        pb = tuple(np.round(pts[_IDX[b]]).astype(int))
+        cv2.line(img, pa, pb, color, max(1, int(th * height_px)),
+                 lineType=cv2.LINE_AA)
+    hc = tuple(np.round(pts[_IDX["head"]]).astype(int))
+    cv2.circle(img, hc, head_r, tuple(int(v) for v in skin), -1,
+               lineType=cv2.LINE_AA)
+    lo = pts.min(0) - (0.06 * height_px)
+    hi = pts.max(0) + (0.06 * height_px)
+    return np.array([lo[0], lo[1], hi[0], hi[1]], np.float32)
+
+
+def make_composite(rng: np.random.Generator, size: int = 256,
+                   max_people: int = 3) -> Tuple[np.ndarray, np.ndarray]:
+    """-> (img uint8 (S, S, 3) RGB, boxes (N, 4) xyxy, clipped to image)."""
+    img = _random_background(rng, size)
+    n = int(rng.integers(1, max_people + 1))
+    boxes: List[np.ndarray] = []
+    for _ in range(n):
+        joints = sample_pose_joints(rng)
+        height = rng.uniform(0.3, 0.9) * size
+        center = rng.uniform(0.2, 0.8, 2) * size
+        box = draw_person(img, joints, center, height, rng)
+        box = np.clip(box, 0, size - 1)
+        if (box[2] - box[0]) > 8 and (box[3] - box[1]) > 8:
+            boxes.append(box)
+    if rng.uniform() < 0.5:
+        k = int(rng.integers(1, 4)) * 2 + 1
+        img = cv2.GaussianBlur(img, (k, k), 0)
+    return img, (np.stack(boxes) if boxes else np.zeros((0, 4), np.float32))

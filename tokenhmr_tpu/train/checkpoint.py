@@ -75,3 +75,40 @@ class CheckpointManager:
             with open(path) as f:
                 return json.load(f)
         return None
+
+
+# ---------------------------------------------------------------------------
+# Single-file npz checkpoints for small models (the person detector) —
+# self-describing like the orbax ones: params flattened by path + the
+# architecture config as embedded json.
+# ---------------------------------------------------------------------------
+
+def save_detector_checkpoint(path: str, params: Any, cfg: Any) -> None:
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    arrays = {}
+    for p, leaf in flat:
+        key = "/".join(str(getattr(k, "key", k)) for k in p)
+        arrays[key] = np.asarray(leaf)
+    arrays["__config__"] = np.frombuffer(
+        json.dumps(_cfg_to_dict(cfg)).encode(), np.uint8)
+    np.savez(path, **arrays)
+
+
+def load_detector_checkpoint(path: str):
+    from ..models.detector import DetectorConfig
+
+    data = np.load(path, allow_pickle=False)
+    cfg_d = json.loads(bytes(data["__config__"]).decode())
+    cfg = DetectorConfig(**{k: v for k, v in cfg_d.items()
+                            if k in {f.name for f in dataclasses.fields(DetectorConfig)}
+                            and k != "dtype"})
+    params: Dict[str, Any] = {}
+    for key in data.files:
+        if key == "__config__":
+            continue
+        node = params
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[key]
+    return params, cfg

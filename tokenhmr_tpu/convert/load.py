@@ -353,8 +353,14 @@ def load_tokenhmr_checkpoint(
     ckpt_path: str,
     tokenizer_path: Optional[str] = None,
     vit_depth: int = 32,
+    vit_cfg=None,
+    head_cfg=None,
 ):
-    """Lightning ckpt (+ tokenizer.pth) -> (TokenHMRConfig, params, frozen)."""
+    """Lightning ckpt (+ tokenizer.pth) -> (TokenHMRConfig, params, frozen).
+
+    vit_cfg/head_cfg: optional architecture overrides (default: release
+    ViT-H + token head) — lets non-release checkpoints (tiny test
+    fixtures, ablation sizes) ride the same assembly path."""
     import torch
 
     from ..models.tokenhmr import TokenHMRConfig
@@ -364,8 +370,14 @@ def load_tokenhmr_checkpoint(
     sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
     backbone_sd, head_sd = split_lightning_state_dict(sd)
 
+    if vit_cfg is not None:
+        vit_depth = vit_cfg.depth
     backbone = convert_vit_state_dict(backbone_sd, depth=vit_depth)
-    head, init = convert_token_head_state_dict(head_sd)
+    head_kw = {}
+    if head_cfg is not None:
+        head_kw = dict(depth=head_cfg.decoder.depth,
+                       num_mixer_blocks=head_cfg.num_mixer_blocks)
+    head, init = convert_token_head_state_dict(head_sd, **head_kw)
 
     mean_params = None
     if init:
@@ -380,7 +392,12 @@ def load_tokenhmr_checkpoint(
     else:
         raise ConversionError("tokenizer checkpoint required for the token head")
 
-    cfg = TokenHMRConfig(posevq=pq_cfg)
+    cfg_kw = {}
+    if vit_cfg is not None:
+        cfg_kw["vit"] = vit_cfg
+    if head_cfg is not None:
+        cfg_kw["head"] = head_cfg
+    cfg = TokenHMRConfig(posevq=pq_cfg, **cfg_kw)
     params = {"backbone": backbone, "head": head}
     frozen = {"params": pq_params, "vq_state": vq_state}
     return cfg, params, frozen, mean_params

@@ -8,7 +8,9 @@ any (image -> boxes xyxy + scores) callable works.  Built-ins:
   * `FullFrameDetector` — one box covering the frame (single-person media)
   * `HogDetector` — OpenCV HOG+SVM people detector (CPU, no extra deps)
 
-plus `nms_xyxy`, an XLA-friendly pure-numpy NMS used by all sources.
+plus `nms_xyxy`, a host-side (pure-numpy) greedy NMS used by all sources;
+the NN detector's in-graph peak suppression is the jittable max-pool NMS
+in models/detector.py.
 """
 from __future__ import annotations
 

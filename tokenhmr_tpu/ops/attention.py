@@ -225,11 +225,13 @@ def _mha_packed_q8_kernel(qkv_ref, o_ref, s_ref, sc_ref, ob_ref, *,
             s = sc_ref[h] * scale
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
-            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(qkv_ref.dtype)
+            # denom folded into the (S, D) output instead of the (S, T)
+            # probabilities: D=80 < T=192 elementwise divides per head
+            denom = jnp.sum(p, axis=-1, keepdims=True)
             v = qkv_ref[b, :, 2 * HD + h * head_dim: 2 * HD + (h + 1) * head_dim]
-            ob_ref[:, h * head_dim:(h + 1) * head_dim] = jnp.dot(
-                p, v, preferred_element_type=jnp.float32
-            )
+            o = jnp.dot(p.astype(qkv_ref.dtype), v,
+                        preferred_element_type=jnp.float32)
+            ob_ref[:, h * head_dim:(h + 1) * head_dim] = o / denom
         o = ob_ref[:]
         rs = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True), 1e-8) / 127.0
         s_ref[b] = rs

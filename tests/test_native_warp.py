@@ -85,3 +85,51 @@ class TestFusedNormalize:
             assert np.mean(np.abs(patch.astype(int) - ref.astype(int))) < 0.6
         finally:
             A.set_warp_backend(A.warp_affine_cv2)
+
+
+class TestNativeJpeg:
+    """Native libjpeg decoder vs cv2 (both libjpeg-based; IDCT may differ
+    by a few counts)."""
+
+    def _enc(self, img):
+        import cv2
+        ok, enc = cv2.imencode(".jpg", img[:, :, ::-1],
+                               [cv2.IMWRITE_JPEG_QUALITY, 92])
+        assert ok
+        return enc.tobytes()
+
+    def test_single_decode_matches_cv2(self):
+        import cv2
+        from tokenhmr_tpu.native import jpeg_decode
+        rng = np.random.RandomState(0)
+        img = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+        raw = self._enc(img)
+        out = jpeg_decode(raw)
+        if out is None:
+            import pytest
+            pytest.skip("libjpeg unavailable")
+        ref = cv2.imdecode(np.frombuffer(raw, np.uint8),
+                           cv2.IMREAD_COLOR)[:, :, ::-1]
+        assert out.shape == ref.shape
+        assert np.mean(np.abs(out.astype(int) - ref.astype(int))) < 2.0
+
+    def test_batch_decode_threads(self):
+        import cv2
+        from tokenhmr_tpu.native import jpeg_decode_batch
+        rng = np.random.RandomState(1)
+        raws, refs = [], []
+        for i in range(7):
+            img = (rng.rand(40 + 8 * i, 64, 3) * 255).astype(np.uint8)
+            raw = self._enc(img)
+            raws.append(raw)
+            refs.append(cv2.imdecode(np.frombuffer(raw, np.uint8),
+                                     cv2.IMREAD_COLOR)[:, :, ::-1])
+        raws.append(b"not a jpeg")
+        outs = jpeg_decode_batch(raws, num_threads=3)
+        if outs[0] is None:
+            import pytest
+            pytest.skip("libjpeg unavailable")
+        assert outs[-1] is None  # corrupt member flagged, not crashed
+        for o, r in zip(outs[:-1], refs):
+            assert o.shape == r.shape
+            assert np.mean(np.abs(o.astype(int) - r.astype(int))) < 2.0

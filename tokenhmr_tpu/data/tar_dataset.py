@@ -148,11 +148,23 @@ class TarPoseDataset:
                    "data": dict(data), "mask": mask}
 
     def _decode(self, person: Dict) -> Dict:
-        """Decode deferred jpg bytes (runs in the loader's worker pool)."""
+        """Decode deferred jpg bytes (runs in the loader's worker pool).
+
+        Uses the native libjpeg decoder (native/jpegdec.cpp — GIL-free,
+        thread-pool capable) when available; cv2 handles png/fallback."""
         if person.get("jpg") is None:
-            img = cv2.imdecode(np.frombuffer(person["jpg_bytes"], np.uint8),
-                               cv2.IMREAD_COLOR)
-            person["jpg"] = img[:, :, ::-1]
+            raw = person["jpg_bytes"]
+            img = None
+            try:
+                from ..native import jpeg_decode
+
+                img = jpeg_decode(raw)  # already RGB
+            except Exception:
+                img = None
+            if img is None:
+                img = cv2.imdecode(np.frombuffer(raw, np.uint8),
+                                   cv2.IMREAD_COLOR)[:, :, ::-1]
+            person["jpg"] = img
         person.pop("jpg_bytes", None)
         if person.get("mask") is None:
             person["mask"] = np.ones(person["jpg"].shape[:2], bool)

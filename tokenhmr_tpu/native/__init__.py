@@ -128,6 +128,103 @@ def warp_normalize(
     return dst
 
 
+# ---------------------------------------------------------------------------
+# Native JPEG decoding (jpegdec.cpp, libjpeg): replaces cv2.imdecode in the
+# loader hot path; the batch variant decodes on a C++ thread pool with the
+# GIL released for the whole call.
+# ---------------------------------------------------------------------------
+
+_JPEG_SO = os.path.join(_HERE, "libtokenhmr_jpeg.so")
+_JPEG_SRC = os.path.join(_HERE, "jpegdec.cpp")
+_jpeg_lib: Optional[ctypes.CDLL] = None
+
+
+def get_jpeg_lib() -> Optional[ctypes.CDLL]:
+    """Build+load the jpeg decoder; None if libjpeg is unavailable."""
+    global _jpeg_lib
+    with _lock:
+        if _jpeg_lib is not None:
+            return _jpeg_lib
+        try:
+            if (not os.path.exists(_JPEG_SO)
+                    or os.path.getmtime(_JPEG_SO) < os.path.getmtime(_JPEG_SRC)):
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                     "-fPIC", "-o", _JPEG_SO, _JPEG_SRC, "-ljpeg",
+                     "-lpthread"],
+                    check=True, capture_output=True)
+            lib = ctypes.CDLL(_JPEG_SO)
+        except (OSError, subprocess.CalledProcessError):
+            return None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        ip = ctypes.POINTER(ctypes.c_int)
+        lib.thmr_jpeg_dims.argtypes = [u8p, ctypes.c_size_t, ip, ip]
+        lib.thmr_jpeg_dims.restype = ctypes.c_int
+        lib.thmr_jpeg_decode.argtypes = [u8p, ctypes.c_size_t, u8p,
+                                         ctypes.c_int, ctypes.c_int]
+        lib.thmr_jpeg_decode.restype = ctypes.c_int
+        lib.thmr_jpeg_decode_batch.argtypes = [
+            ctypes.c_int, ctypes.POINTER(u8p),
+            ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(u8p),
+            ip, ip, ip, ctypes.c_int,
+        ]
+        _jpeg_lib = lib
+        return lib
+
+
+def jpeg_decode(data: bytes) -> Optional[np.ndarray]:
+    """JPEG bytes -> (H, W, 3) uint8 RGB; None on failure / no libjpeg."""
+    lib = get_jpeg_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    w, h = ctypes.c_int(), ctypes.c_int()
+    if lib.thmr_jpeg_dims(_ptr(buf, ctypes.c_uint8), len(data),
+                          ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.thmr_jpeg_decode(_ptr(buf, ctypes.c_uint8), len(data),
+                              _ptr(out, ctypes.c_uint8), h.value, w.value)
+    return out if rc == 0 else None
+
+
+def jpeg_decode_batch(datas, num_threads: int = 4):
+    """List of JPEG bytes -> list of (H, W, 3) uint8 RGB (None where a
+    member failed).  Decodes on a C++ thread pool, GIL released."""
+    lib = get_jpeg_lib()
+    if lib is None:
+        return [None] * len(datas)
+    n = len(datas)
+    bufs = [np.frombuffer(d, np.uint8) for d in datas]
+    dims = []
+    outs: list = []
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    data_arr = (u8p * n)()
+    len_arr = (ctypes.c_size_t * n)()
+    out_arr = (u8p * n)()
+    h_arr = (ctypes.c_int * n)()
+    w_arr = (ctypes.c_int * n)()
+    rc_arr = (ctypes.c_int * n)()
+    for i, b in enumerate(bufs):
+        w, h = ctypes.c_int(), ctypes.c_int()
+        ok = lib.thmr_jpeg_dims(_ptr(b, ctypes.c_uint8), len(b),
+                                ctypes.byref(w), ctypes.byref(h)) == 0
+        dims.append((h.value, w.value) if ok else None)
+        out = np.empty((h.value, w.value, 3), np.uint8) if ok else \
+            np.empty((1, 1, 3), np.uint8)
+        outs.append(out)
+        data_arr[i] = _ptr(b, ctypes.c_uint8)
+        len_arr[i] = len(b)
+        out_arr[i] = _ptr(out, ctypes.c_uint8)
+        h_arr[i] = out.shape[0]
+        w_arr[i] = out.shape[1]
+        rc_arr[i] = 0 if ok else 99
+    lib.thmr_jpeg_decode_batch(n, data_arr, len_arr, out_arr, h_arr, w_arr,
+                               rc_arr, num_threads)
+    return [outs[i] if (dims[i] is not None and rc_arr[i] == 0) else None
+            for i in range(n)]
+
+
 def use_as_augment_backend() -> None:
     """Route the augment pipeline's warps through the native kernel."""
     from ..data.augment import set_warp_backend

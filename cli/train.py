@@ -262,7 +262,9 @@ def main(argv=None):
             batches = tar_batch_iter(args, max(img_hw), smpl_model)
 
         # --- checkpoint / resume ----------------------------------------
-        ckpt = CheckpointManager(args.out_dir)
+        # async saves: training never blocks on checkpoint writes; the
+        # SIGTERM/final paths wait() before exiting
+        ckpt = CheckpointManager(args.out_dir, async_save=True)
         start = 0
         if ckpt.latest_step() is not None:
             state = ckpt.restore({"params": params, "opt_state": opt_state})
@@ -341,8 +343,10 @@ def main(argv=None):
                 ckpt.save(step + 1, {"params": params, "opt_state": opt_state},
                           config=cfg)
                 if stop_requested:
+                    ckpt.wait()
                     print("SIGTERM: checkpoint saved, exiting for requeue")
                     return
+        ckpt.wait()
     print("training complete")
 
 

@@ -37,10 +37,18 @@ def _cfg_to_dict(cfg) -> Dict[str, Any]:
 
 
 class CheckpointManager:
-    """Thin orbax wrapper: step-numbered saves, keep-latest, auto-resume."""
+    """Thin orbax wrapper: step-numbered saves, keep-latest, auto-resume.
 
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    async_save=True returns as soon as the device->host copy is enqueued
+    (orbax persists in a background thread), so training never blocks on
+    filesystem writes; `wait()` (called automatically before restore and
+    at context exit) joins the in-flight save.
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 async_save: bool = False):
         self.directory = os.path.abspath(directory)
+        self.async_save = async_save
         os.makedirs(self.directory, exist_ok=True)
         self.manager = ocp.CheckpointManager(
             self.directory,
@@ -55,6 +63,10 @@ class CheckpointManager:
             with open(os.path.join(self.directory, "config.json"), "w") as f:
                 json.dump(_cfg_to_dict(config), f, indent=2, default=str)
         self.manager.save(step, args=ocp.args.StandardSave(state))
+        if not self.async_save:
+            self.manager.wait_until_finished()
+
+    def wait(self) -> None:
         self.manager.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
@@ -62,6 +74,7 @@ class CheckpointManager:
 
     def restore(self, state_template: Dict[str, Any],
                 step: Optional[int] = None) -> Dict[str, Any]:
+        self.wait()  # join any in-flight async save first
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")

@@ -220,6 +220,19 @@ def main(argv=None):
     # --- mesh / sharding -------------------------------------------------
     mesh = make_mesh(n_fsdp=args.n_fsdp, n_model=args.n_model)
     print(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
+    # hyperparameter/param-count logging (ref misc.py:141-180)
+    if jax.process_index() == 0:
+        counts = {
+            k: sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(v))
+            for k, v in params.items() if isinstance(v, dict)
+        }
+        counts["total"] = sum(counts.values())
+        print("param counts:", {k: f"{v/1e6:.2f}M" for k, v in counts.items()})
+        os.makedirs(args.out_dir, exist_ok=True)
+        with open(os.path.join(args.out_dir, "hparams.json"), "w") as f:
+            json.dump({"args": vars(args), "param_counts": counts}, f,
+                      indent=2, default=str)
     optimizer = make_optimizer(args.lr, args.weight_decay, args.grad_clip)
     adversarial = args.adv_weight > 0
 
@@ -308,6 +321,7 @@ def main(argv=None):
             if step % args.log_steps == 0 and jax.process_index() == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["step"] = step
+                m["lr"] = args.lr  # constant schedule (ref tokenhmr.py:116)
                 m["examples_per_sec"] = (
                     (step - start + 1) * args.batch_size / (time.time() - t0))
                 with open(metrics_path, "a") as f:

@@ -47,6 +47,14 @@ def main():
         # accuracy delta vs bf16 is printed by BENCH_CHECK=1
         import dataclasses
         cfg = dataclasses.replace(cfg, vit=dataclasses.replace(cfg.vit, quant="int8"))
+    if os.environ.get("BENCH_HEAD_BF16", "1") == "1":
+        # the head's decoder cross-attn projections are ~4 ms/step in f32
+        # (head is <2% of model FLOPs; bf16 noise is negligible there)
+        import dataclasses
+        head = dataclasses.replace(
+            cfg.head, dtype=jnp.bfloat16,
+            decoder=dataclasses.replace(cfg.head.decoder, dtype=jnp.bfloat16))
+        cfg = dataclasses.replace(cfg, head=head)
     if os.environ.get("BENCH_BF16_PARAMS", "1") == "1":
         # store weights in bf16: halves weight HBM traffic, removes the
         # per-layer f32->bf16 cast; accuracy impact is within bf16 compute

@@ -45,6 +45,10 @@ def main(argv=None):
     p.add_argument("--device-preproc", action="store_true",
                    help="fused full-frame pipeline: crops are warped ON "
                         "DEVICE inside the model jit (serve.FullFramePipeline)")
+    p.add_argument("--quant", default=None, choices=["int8"],
+                   help="W8A8 int8 inference for the ViT dense layers "
+                        "(~1.5x on TPU v5e; dynamic per-token scales — see "
+                        "docs/PERF_NOTES.md)")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = p.parse_args(argv)
@@ -77,6 +81,12 @@ def main(argv=None):
         smpl_model = S.load_smpl_model(
             args.smpl_model, joint_regressor_extra=args.joint_regressor_extra
         )
+
+    if args.quant:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, vit=dataclasses.replace(cfg.vit, quant=args.quant))
 
     patch_h, patch_w = cfg.vit.img_size
     crop_size = max(cfg.vit.img_size)

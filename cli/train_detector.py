@@ -62,6 +62,8 @@ def main(argv=None):
     p.add_argument("--base", type=int, default=32)
     p.add_argument("--data-npz", default=None)
     p.add_argument("--log-steps", type=int, default=50)
+    p.add_argument("--eval-steps", type=int, default=1000,
+                   help="held-out recall@IoU0.5 every N steps (0=off)")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = p.parse_args(argv)
@@ -100,6 +102,42 @@ def main(argv=None):
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, metrics
 
+    from tokenhmr_tpu.models.detector import decode_detections
+
+    @jax.jit
+    def infer(params, imgs):
+        return decode_detections(model.apply({"params": params}, imgs), cfg)
+
+    def heldout_recall(params, n_imgs=32, seed=10_000_000):
+        """recall@IoU0.5 + false positives/img on fresh composites."""
+        from tokenhmr_tpu.data.synth_people import make_composite
+        rng = np.random.default_rng(seed)
+        tp = fn = fp = 0
+        for _ in range(n_imgs):
+            img, gts = make_composite(rng, cfg.img_size)
+            boxes, scores = infer(params, jnp.asarray(
+                img[None].astype(np.float32) / 255.0))
+            preds = np.asarray(boxes[0])[np.asarray(scores[0]) > 0.3]
+            matched = set()
+            for g in gts:
+                best_iou, best_j = 0.0, -1
+                for j, b in enumerate(preds):
+                    ix = max(0, min(b[2], g[2]) - max(b[0], g[0]))
+                    iy = max(0, min(b[3], g[3]) - max(b[1], g[1]))
+                    inter = ix * iy
+                    u = ((b[2]-b[0])*(b[3]-b[1])
+                         + (g[2]-g[0])*(g[3]-g[1]) - inter)
+                    iou = inter / max(u, 1e-6)
+                    if iou > best_iou:
+                        best_iou, best_j = iou, j
+                if best_iou > 0.5 and best_j not in matched:
+                    tp += 1
+                    matched.add(best_j)
+                else:
+                    fn += 1
+            fp += len(preds) - len(matched)
+        return tp / max(tp + fn, 1), fp / n_imgs
+
     stream = batch_stream(cfg, args.batch_size, data_npz=args.data_npz)
     t0 = time.time()
     for it in range(args.steps):
@@ -111,7 +149,14 @@ def main(argv=None):
             m = {k: round(float(v), 4) for k, v in metrics.items()}
             rate = (it + 1) * args.batch_size / (time.time() - t0)
             print(f"step {it}: {m} ({rate:.0f} img/s)", flush=True)
+        if args.eval_steps and (it + 1) % args.eval_steps == 0:
+            rec, fpi = heldout_recall(params)
+            print(f"eval @ {it + 1}: recall@0.5 {rec:.3f}, "
+                  f"false pos/img {fpi:.2f}", flush=True)
 
+    if args.eval_steps:
+        rec, fpi = heldout_recall(params)
+        print(f"final: recall@0.5 {rec:.3f}, false pos/img {fpi:.2f}")
     save_detector_checkpoint(args.out, params, cfg)
     print(f"saved {args.out}")
 

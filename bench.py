@@ -55,6 +55,18 @@ def main():
             cfg.head, dtype=jnp.bfloat16,
             decoder=dataclasses.replace(cfg.head.decoder, dtype=jnp.bfloat16))
         cfg = dataclasses.replace(cfg, head=head)
+    merge = os.environ.get("BENCH_MERGE", "")
+    if merge:
+        # ToMe token merging (ops/merge.py): "8:32,16:32,24:32" = merge 32
+        # tokens before blocks 8/16/24 (192 -> 160 -> 128 -> 96).  Off by
+        # default: it changes which tokens exist, so outputs are not
+        # bit-comparable to the reference graph (accuracy vs speed knob).
+        import dataclasses
+        sched = tuple(
+            tuple(int(v) for v in part.split(":")) for part in merge.split(",")
+        )
+        cfg = dataclasses.replace(
+            cfg, vit=dataclasses.replace(cfg.vit, merge_schedule=sched))
     if os.environ.get("BENCH_BF16_PARAMS", "1") == "1":
         # store weights in bf16: halves weight HBM traffic, removes the
         # per-layer f32->bf16 cast; accuracy impact is within bf16 compute
@@ -105,10 +117,13 @@ def main():
         v, c = pixels_to_vertices(params, crops)
     float(jnp.sum(v))
 
-    if os.environ.get("BENCH_CHECK", "0") == "1" and quant == "int8":
-        # quantization accuracy vs the bf16 path, in SMPL vertex space
+    if os.environ.get("BENCH_CHECK", "0") == "1":
+        # accuracy vs the exact bf16 graph (no quant, no merging), in SMPL
+        # vertex space
         import dataclasses
-        bcfg = dataclasses.replace(cfg, vit=dataclasses.replace(cfg.vit, quant=None))
+        bcfg = dataclasses.replace(
+            cfg, vit=dataclasses.replace(cfg.vit, quant=None,
+                                         merge_schedule=()))
 
         @jax.jit
         def ref_fn(params, crops_u8):
@@ -119,7 +134,9 @@ def main():
 
         v_ref = ref_fn(params, crops)
         dv = jnp.linalg.norm(v - v_ref, axis=-1)  # (B, V) in meters
-        print(f"# int8-vs-bf16 vertex delta: mean {float(jnp.mean(dv))*1000:.3f} mm, "
+        tag = f"quant={quant} merge={merge or 'off'}"
+        print(f"# [{tag}] vs exact-bf16 vertex delta: "
+              f"mean {float(jnp.mean(dv))*1000:.3f} mm, "
               f"p99 {float(jnp.percentile(dv, 99))*1000:.3f} mm", file=sys.stderr)
 
     t0 = time.perf_counter()

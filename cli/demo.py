@@ -49,6 +49,10 @@ def main(argv=None):
                    help="W8A8 int8 inference for the ViT dense layers "
                         "(~1.5x on TPU v5e; dynamic per-token scales — see "
                         "docs/PERF_NOTES.md)")
+    p.add_argument("--merge", default=None, metavar="SCHED",
+                   help="ToMe token merging, e.g. '8:32,16:32,24:32' = merge"
+                        " 32 tokens before ViT blocks 8/16/24 (speed-vs-"
+                        "accuracy knob; see ops/merge.py)")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = p.parse_args(argv)
@@ -87,6 +91,13 @@ def main(argv=None):
 
         cfg = dataclasses.replace(
             cfg, vit=dataclasses.replace(cfg.vit, quant=args.quant))
+    if args.merge:
+        import dataclasses
+
+        sched = tuple(tuple(int(v) for v in part.split(":"))
+                      for part in args.merge.split(","))
+        cfg = dataclasses.replace(
+            cfg, vit=dataclasses.replace(cfg.vit, merge_schedule=sched))
 
     patch_h, patch_w = cfg.vit.img_size
     crop_size = max(cfg.vit.img_size)

@@ -69,6 +69,12 @@ def main(argv=None):
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force a JAX backend (the env's TPU plugin ignores "
                         "JAX_PLATFORMS; this flag uses jax.config)")
+    p.add_argument("--quant", default=None, choices=["int8"],
+                   help="W8A8 int8 ViT inference (speed knob; measure the "
+                        "metric delta it costs on this benchmark)")
+    p.add_argument("--merge", default=None, metavar="SCHED",
+                   help="ToMe token merging, e.g. '8:32,16:32,24:32' "
+                        "(speed knob; measure the metric delta here)")
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -107,6 +113,13 @@ def main(argv=None):
 
     import dataclasses as dc
     import functools
+
+    if args.quant:
+        cfg = dc.replace(cfg, vit=dc.replace(cfg.vit, quant=args.quant))
+    if args.merge:
+        sched = tuple(tuple(int(v) for v in part.split(":"))
+                      for part in args.merge.split(","))
+        cfg = dc.replace(cfg, vit=dc.replace(cfg.vit, merge_schedule=sched))
 
     @functools.partial(jax.jit, static_argnames=("use_hips",))
     def model_forward(params, img, use_hips=False):

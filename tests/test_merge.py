@@ -1,0 +1,73 @@
+"""Token-merging op (ops/merge.py) unit tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tokenhmr_tpu.ops.merge import bipartite_soft_match, merge_tokens
+
+
+def test_shapes_and_size_conservation():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 24, 16).astype(np.float32))
+    out, sizes = merge_tokens(x, None, r=5)
+    assert out.shape == (4, 19, 16)
+    assert sizes.shape == (4, 19)
+    # total "mass" (number of original patches) is conserved
+    np.testing.assert_allclose(np.asarray(jnp.sum(sizes, axis=-1)), 24.0, rtol=1e-5)
+
+
+def test_merges_identical_tokens_exactly():
+    """If the most similar pairs are exact duplicates, merging them is lossless."""
+    rng = np.random.RandomState(1)
+    base = rng.randn(1, 8, 4).astype(np.float32)
+    # make tokens 0 and 2 (set A) exact copies of tokens 1 and 3 (set B)
+    base[0, 0] = base[0, 1]
+    base[0, 2] = base[0, 3]
+    x = jnp.asarray(base)
+    out, sizes = merge_tokens(x, None, r=2)
+    assert out.shape == (1, 6, 4)
+    # the merged B tokens keep their value (mean of identical tokens)
+    out_np = np.asarray(out)
+    for val in (base[0, 1], base[0, 3]):
+        dists = np.linalg.norm(out_np[0] - val, axis=-1)
+        assert dists.min() < 1e-5
+    # their sizes became 2
+    merged_sizes = np.sort(np.asarray(sizes)[0])
+    np.testing.assert_allclose(merged_sizes, [1, 1, 1, 1, 2, 2])
+
+
+def test_weighted_mean_semantics():
+    """Merging with pre-existing sizes is a size-weighted mean."""
+    # S=4: A = {0, 2}, B = {1, 3}. Make token 0 similar to token 1 only.
+    x = jnp.asarray([[[1.0, 0.0], [3.0, 0.0], [0.0, 5.0], [0.0, -5.0]]])
+    sizes = jnp.asarray([[1.0, 3.0, 1.0, 1.0]])
+    out, new_sizes = merge_tokens(x, sizes, r=1)
+    out_np, ns = np.asarray(out[0]), np.asarray(new_sizes[0])
+    # token 0 (size 1, value 1) into token 1 (size 3, value 3): mean = 2.5
+    i = int(np.argmax(ns))
+    assert ns[i] == 4.0
+    np.testing.assert_allclose(out_np[i], [2.5, 0.0], atol=1e-6)
+
+
+def test_match_picks_most_similar():
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 12, 8).astype(np.float32)
+    src, dst, keep = bipartite_soft_match(jnp.asarray(x), jnp.ones((2, 12)), r=3)
+    assert src.shape == (2, 3) and dst.shape == (2, 3) and keep.shape == (2, 3)
+    # src/keep together enumerate all of A exactly once
+    both = np.sort(np.concatenate([np.asarray(src), np.asarray(keep)], axis=1), axis=1)
+    np.testing.assert_array_equal(both, np.tile(np.arange(6), (2, 1)))
+    # each matched dst is the argmax-similarity B token for its src
+    m = x / np.linalg.norm(x, axis=-1, keepdims=True)
+    sim = np.einsum("bac,bkc->bak", m[:, 0::2], m[:, 1::2])
+    for b in range(2):
+        for j in range(3):
+            s = int(np.asarray(src)[b, j])
+            assert int(np.asarray(dst)[b, j]) == int(np.argmax(sim[b, s]))
+
+
+def test_jits_with_static_r():
+    f = jax.jit(lambda x: merge_tokens(x, None, 4))
+    out, sizes = f(jnp.ones((2, 16, 8)))
+    assert out.shape == (2, 12, 8)

@@ -146,7 +146,7 @@ class TokenHead(nn.Module):
     mean_params: Optional[Dict[str, np.ndarray]] = None
 
     @nn.compact
-    def __call__(self, context, train: bool = False):
+    def __call__(self, context, train: bool = False, context_log_size=None):
         c = self.cfg
         B = context.shape[0]
         means = self.mean_params or default_mean_params(c)
@@ -159,7 +159,7 @@ class TokenHead(nn.Module):
         for _ in range(c.ief_iters):
             token = jnp.zeros((B, 1, 1), context.dtype)  # zero query token
             tok = TransformerDecoder(c.decoder, name="transformer")(
-                token, context, train=train
+                token, context, train=train, context_bias=context_log_size
             )[:, 0]                                       # (B, dim)
             grot = nn.Dense(6, dtype=c.dtype, name="decpose_grot")(tok)
             hands = nn.Dense(12, dtype=c.dtype, name="decpose_hands")(tok)
@@ -188,7 +188,7 @@ class RegressionHead(nn.Module):
     mean_params: Optional[Dict[str, np.ndarray]] = None
 
     @nn.compact
-    def __call__(self, context, train: bool = False):
+    def __call__(self, context, train: bool = False, context_log_size=None):
         c = self.cfg
         B = context.shape[0]
         means = self.mean_params or default_mean_params(c)
@@ -198,7 +198,7 @@ class RegressionHead(nn.Module):
         for _ in range(c.ief_iters):
             token = jnp.zeros((B, 1, 1), context.dtype)
             tok = TransformerDecoder(c.decoder, name="transformer")(
-                token, context, train=train
+                token, context, train=train, context_bias=context_log_size
             )[:, 0]
             pred_pose = nn.Dense(c.npose, dtype=c.dtype, name="decpose")(tok) + pred_pose
             pred_betas = nn.Dense(10, dtype=c.dtype, name="decshape")(tok) + pred_betas

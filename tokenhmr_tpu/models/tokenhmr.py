@@ -20,7 +20,7 @@ from ..ops import projection as proj
 from .posevq import PoseVQ, PoseVQConfig, VQState, vq_dequantize_logits
 from .smpl import SMPLModel, smpl_openpose_forward
 from .token_head import RegressionHead, TokenHead, TokenHeadConfig
-from .vit import ViT, ViTConfig
+from .vit import ViT, ViTConfig, vit_apply
 
 
 @dataclasses.dataclass(frozen=True)
@@ -105,10 +105,15 @@ def forward_step(
     if "backbone_quant" in params:
         # calibrated static-quant scales (see vit.ViTConfig.quant="calib")
         bb_vars["quant"] = params["backbone_quant"]
-    feats = ViT(cfg.vit).apply(bb_vars, img, train=train, rngs=rngs)
+    feats, tok_sizes = vit_apply(cfg.vit, bb_vars, img, train=train, rngs=rngs)
     head = _make_head(cfg, frozen, mean_params)
+    head_kw = {}
+    if tok_sizes is not None:
+        # ToMe proportional attention for the head's cross-attn over the
+        # merged backbone tokens (log token sizes as a per-key bias)
+        head_kw["context_log_size"] = jnp.log(tok_sizes)
     pred_smpl_params, pred_cam, extras = head.apply(
-        {"params": params["head"]}, feats, train=train, rngs=rngs
+        {"params": params["head"]}, feats, train=train, rngs=rngs, **head_kw
     )
 
     focal = jnp.full((B, 2), cfg.focal_length, jnp.float32)

@@ -58,7 +58,7 @@ class _CrossAttention(nn.Module):
     cfg: DecoderConfig
 
     @nn.compact
-    def __call__(self, x, context, deterministic=True):
+    def __call__(self, x, context, deterministic=True, context_bias=None):
         c = self.cfg
         inner = c.heads * c.dim_head
         B, N, _ = x.shape
@@ -69,7 +69,7 @@ class _CrossAttention(nn.Module):
         q = q.reshape(B, N, c.heads, c.dim_head).transpose(0, 2, 1, 3)
         k = k.reshape(B, T, c.heads, c.dim_head).transpose(0, 2, 1, 3)
         v = v.reshape(B, T, c.heads, c.dim_head).transpose(0, 2, 1, 3)
-        o = mha(q, k, v, scale=c.dim_head ** -0.5, impl="xla")
+        o = mha(q, k, v, scale=c.dim_head ** -0.5, impl="xla", bias=context_bias)
         o = o.transpose(0, 2, 1, 3).reshape(B, N, inner)
         return nn.Dense(c.dim, dtype=c.dtype, name="to_out")(o)
 
@@ -94,13 +94,14 @@ class TransformerCrossAttn(nn.Module):
     cfg: DecoderConfig
 
     @nn.compact
-    def __call__(self, x, context, deterministic=True):
+    def __call__(self, x, context, deterministic=True, context_bias=None):
         c = self.cfg
         for i in range(c.depth):
             h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"sa_norm{i}")(x).astype(c.dtype)
             x = x + _SelfAttention(c, name=f"sa{i}")(h, deterministic)
             h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"ca_norm{i}")(x).astype(c.dtype)
-            x = x + _CrossAttention(c, name=f"ca{i}")(h, context, deterministic)
+            x = x + _CrossAttention(c, name=f"ca{i}")(h, context, deterministic,
+                                                      context_bias=context_bias)
             h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"ff_norm{i}")(x).astype(c.dtype)
             x = x + _FeedForward(c, name=f"ff{i}")(h, deterministic)
         return x
@@ -116,7 +117,7 @@ class TransformerDecoder(nn.Module):
     cfg: DecoderConfig
 
     @nn.compact
-    def __call__(self, inp, context, train: bool = False):
+    def __call__(self, inp, context, train: bool = False, context_bias=None):
         c = self.cfg
         x = nn.Dense(c.dim, dtype=c.dtype, name="to_token_embedding")(inp)
         B, N, _ = x.shape
@@ -132,4 +133,5 @@ class TransformerDecoder(nn.Module):
             jnp.float32,
         )
         x = x + pos[:, :N].astype(x.dtype)
-        return TransformerCrossAttn(c, name="transformer")(x, context, not train)
+        return TransformerCrossAttn(c, name="transformer")(
+            x, context, not train, context_bias=context_bias)

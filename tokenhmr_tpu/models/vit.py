@@ -23,7 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import mha_packed, mha_packed_q8, mha_packed_xla
+from ..ops.attention import (mha_packed, mha_packed_bias, mha_packed_q8,
+                             mha_packed_xla)
+from ..ops.merge import merge_tokens
 from ..ops.qmatmul import int8_dense, ln_quant
 
 
@@ -56,6 +58,14 @@ class ViTConfig:
     # back as the "quant" collection with quant="int8" to enable the
     # static-scale fc1->fc2 path.
     quant: str | None = None
+    # ToMe token merging (ops/merge.py), inference only: ((block, r), ...)
+    # means "merge r tokens immediately BEFORE running `block`".  Entries
+    # must be in increasing block order.  E.g. ((8, 32), (16, 32), (24, 32))
+    # runs blocks 0-7 at 192 tokens, 8-15 at 160, 16-23 at 128, 24-31 at 96.
+    # () = exact reference compute graph.  Use through `vit_apply`.
+    merge_schedule: Tuple[Tuple[int, int], ...] = ()
+    # proportional attention over merged tokens (log-size key bias)
+    merge_prop_attn: bool = True
 
     @property
     def grid_hw(self) -> Tuple[int, int]:
@@ -171,7 +181,7 @@ class ViTAttention(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x, residual=None, x_prequant=None):
+    def __call__(self, x, residual=None, x_prequant=None, attn_bias=None):
         c = self.cfg
         head_dim = c.embed_dim // c.num_heads
         scale = head_dim ** -0.5
@@ -184,12 +194,15 @@ class ViTAttention(nn.Module):
             if c.quant == "int8":
                 # int8-out epilogue: the per-token quant for proj happens in
                 # the attention kernel's VMEM, not as a separate HBM pass
-                oq, os_ = mha_packed_q8(qkv, scale, c.num_heads)
+                oq, os_ = mha_packed_q8(qkv, scale, c.num_heads, bias=attn_bias)
                 return QDense(c.embed_dim, c, name="proj")(
                     None, residual=residual, x_prequant=(oq, os_))
-            o = mha_packed(qkv, scale, c.num_heads)  # transpose-free kernel
+            if attn_bias is not None:
+                o = mha_packed_bias(qkv, attn_bias, scale, c.num_heads)
+            else:
+                o = mha_packed(qkv, scale, c.num_heads)  # transpose-free kernel
         else:
-            o = mha_packed_xla(qkv, scale, c.num_heads)
+            o = mha_packed_xla(qkv, scale, c.num_heads, bias=attn_bias)
         return QDense(c.embed_dim, c, name="proj")(o, residual=residual)
 
 
@@ -253,7 +266,7 @@ class _ScanViTBlock(nn.Module):
     deterministic: bool = True
 
     @nn.compact
-    def __call__(self, x, dp_rate):
+    def __call__(self, x, dp_rate, attn_bias=None):
         c = self.cfg
         # fused-residual path: with deterministic drop-path (identity), the
         # residual add rides the proj/fc2 matmul epilogues instead of being
@@ -264,11 +277,13 @@ class _ScanViTBlock(nn.Module):
         h = QLayerNorm(c, name="norm1")(x, quantize=qln)
         if fuse:
             if qln:
-                x = ViTAttention(c, name="attn")(None, residual=x, x_prequant=h)
+                x = ViTAttention(c, name="attn")(None, residual=x, x_prequant=h,
+                                                 attn_bias=attn_bias)
             else:
-                x = ViTAttention(c, name="attn")(h, residual=x)
+                x = ViTAttention(c, name="attn")(h, residual=x,
+                                                 attn_bias=attn_bias)
         else:
-            h = ViTAttention(c, name="attn")(h)
+            h = ViTAttention(c, name="attn")(h, attn_bias=attn_bias)
             x = x + _traced_drop_path(self, h, dp_rate)
         h = QLayerNorm(c, name="norm2")(x, quantize=qln)
         if fuse:
@@ -349,3 +364,89 @@ class ViT(nn.Module):
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="last_norm")(x)
         return x.astype(jnp.float32)  # (B, S, C) tokens, h-major order
+
+
+def _patch_embed_module(c: ViTConfig) -> nn.Conv:
+    return nn.Conv(
+        c.embed_dim,
+        kernel_size=(c.patch_size, c.patch_size),
+        strides=(c.patch_size, c.patch_size),
+        padding=[(4, 4), (4, 4)],
+        dtype=c.dtype,
+        name="patch_embed",
+    )
+
+
+def vit_apply(cfg: ViTConfig, variables, x, train: bool = False, rngs=None):
+    """Backbone forward returning (tokens, sizes).
+
+    With an empty merge_schedule (or in training) this is exactly
+    `ViT(cfg).apply(...)` and sizes is None.  With a merge schedule it runs
+    the token-merging inference path: sizes (B, S_final) counts how many
+    original patches each surviving token represents (feed log(sizes) to
+    downstream cross-attention as a key bias).
+    """
+    if train or not cfg.merge_schedule:
+        return ViT(cfg).apply(variables, x, train=train, rngs=rngs), None
+    assert cfg.scan_blocks, "token merging requires the scanned-blocks layout"
+    return _vit_forward_merged(cfg, variables, x)
+
+
+def _vit_forward_merged(cfg: ViTConfig, variables, x):
+    """Segmented ViT forward with ToMe token merging between segments.
+
+    Reuses the exact same parameter tree as ViT (blocks stacked (depth, ...)
+    by nn.scan): each segment is a lax.scan over a static slice of the
+    stacked block params, and `merge_tokens` (ops/merge.py) shrinks the
+    token axis between segments.  Inference only (no drop-path / rngs).
+    """
+    c = cfg
+    params = variables["params"]
+    quant = variables.get("quant")
+
+    if x.shape[1] == x.shape[2]:  # square input: apply the ref width slice
+        x = slice_to_vit_aspect(x)
+    x = _patch_embed_module(c).apply(
+        {"params": params["patch_embed"]}, x.astype(c.dtype))
+    B, Hp, Wp, C = x.shape
+    x = x.reshape(B, Hp * Wp, C)
+    pos = params["pos_embed"]
+    x = x + (pos[:, 1:] + pos[:, :1]).astype(c.dtype)
+
+    cuts = [k for k, _ in c.merge_schedule]
+    assert cuts == sorted(cuts) and all(0 < k < c.depth for k in cuts), (
+        f"merge_schedule blocks must be increasing in (0, {c.depth}): {cuts}")
+    bounds = [0] + cuts + [c.depth]
+    merges = [0] + [r for _, r in c.merge_schedule]
+
+    block_params = params["blocks"]
+    block_quant = quant["blocks"] if quant is not None else None
+    body_mod = _ScanViTBlock(c, deterministic=True)
+    take = lambda tree, k0, k1: jax.tree_util.tree_map(
+        lambda a: a[k0:k1], tree)
+
+    sizes = None
+    for seg, (k0, k1) in enumerate(zip(bounds[:-1], bounds[1:])):
+        if merges[seg]:
+            x, sizes = merge_tokens(x, sizes, merges[seg])
+        bias = (jnp.log(sizes) if sizes is not None and c.merge_prop_attn
+                else None)
+        seg_p = take(block_params, k0, k1)
+        seg_q = take(block_quant, k0, k1) if block_quant is not None else None
+
+        def body(xc, sl, _bias=bias):
+            if seg_q is not None:
+                p, q = sl
+                vs = {"params": p, "quant": q}
+            else:
+                (p,) = sl
+                vs = {"params": p}
+            y, _ = body_mod.apply(vs, xc, jnp.float32(0.0), attn_bias=_bias)
+            return y, None
+
+        xs = (seg_p, seg_q) if seg_q is not None else (seg_p,)
+        x, _ = jax.lax.scan(body, x, xs)
+
+    ln = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="last_norm")
+    x = ln.apply({"params": params["last_norm"]}, x)
+    return x.astype(jnp.float32), sizes

@@ -32,12 +32,20 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 
-def mha_xla(q: jax.Array, k: jax.Array, v: jax.Array, scale: Optional[float] = None) -> jax.Array:
-    """(B, H, S, D), (B, H, T, D), (B, H, T, D) -> (B, H, S, D)."""
+def mha_xla(q: jax.Array, k: jax.Array, v: jax.Array, scale: Optional[float] = None,
+            bias: Optional[jax.Array] = None) -> jax.Array:
+    """(B, H, S, D), (B, H, T, D), (B, H, T, D) -> (B, H, S, D).
+
+    bias: optional (B, T) additive per-key score bias (e.g. log token sizes
+    for ToMe proportional attention), broadcast over heads and queries.
+    """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     scores = jnp.einsum("bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(scores * scale, axis=-1).astype(q.dtype)
+    scores = scores * scale
+    if bias is not None:
+        scores = scores + bias[:, None, None, :].astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     return jnp.einsum("bhst,bhtd->bhsd", probs, v, preferred_element_type=jnp.float32).astype(q.dtype)
 
 
@@ -116,8 +124,8 @@ _mha_pallas.defvjp(_mha_pallas_fwd, _mha_pallas_bwd)
 # movement (ref vit.py:115) never happens.
 # ---------------------------------------------------------------------------
 
-def _mha_packed_kernel(qkv_ref, o_ref, sc_ref, *, scale: float,
-                       num_heads: int, head_dim: int):
+def _mha_packed_kernel(*refs, scale: float, num_heads: int, head_dim: int,
+                       has_bias: bool = False):
     """One batch row: qkv_ref (1, S, 3*H*D) laid out [q | k | v], each of
     H contiguous D-lane chunks.  Heads unrolled; per-head matmuls are
     static lane slices of VMEM — no HBM transposes anywhere.
@@ -125,7 +133,14 @@ def _mha_packed_kernel(qkv_ref, o_ref, sc_ref, *, scale: float,
     Two-phase schedule: ALL QK^T matmuls first (scores parked in VMEM
     scratch), then softmax+PV per head — keeps the MXU pipeline fed with
     back-to-back independent matmuls instead of alternating with the VPU
-    (measured 0.507 vs 0.567 ms/layer at B=128 on v5e)."""
+    (measured 0.507 vs 0.567 ms/layer at B=128 on v5e).
+
+    Optional bias ref (1, S): additive per-key score bias (ToMe
+    proportional attention, log token sizes)."""
+    qkv_ref = refs[0]
+    bias_ref = refs[1] if has_bias else None
+    o_ref = refs[1 + has_bias]
+    sc_ref = refs[2 + has_bias]
     HD = num_heads * head_dim
     for h in range(num_heads):
         q = qkv_ref[0, :, h * head_dim:(h + 1) * head_dim]
@@ -135,6 +150,8 @@ def _mha_packed_kernel(qkv_ref, o_ref, sc_ref, *, scale: float,
         )
     for h in range(num_heads):
         s = sc_ref[h] * scale
+        if bias_ref is not None:  # per-key additive bias (ToMe log sizes)
+            s = s + bias_ref[0]   # (1, S) broadcast over (S, S) rows
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(qkv_ref.dtype)
@@ -167,8 +184,9 @@ def _mha_packed_kernel_batched(qkv_ref, o_ref, *, scale: float,
     o_ref[0] = o.transpose(1, 0, 2).reshape(S, HD).astype(o_ref.dtype)
 
 
-def _mha_packed_impl(qkv: jax.Array, scale: float, num_heads: int) -> jax.Array:
-    """(B, S, 3*H*D) -> (B, S, H*D)."""
+def _mha_packed_impl(qkv: jax.Array, scale: float, num_heads: int,
+                     bias: Optional[jax.Array] = None) -> jax.Array:
+    """(B, S, 3*H*D) -> (B, S, H*D).  bias: optional (B, S) per-key bias."""
     B, S, THD = qkv.shape
     HD = THD // 3
     D = HD // num_heads
@@ -177,16 +195,28 @@ def _mha_packed_impl(qkv: jax.Array, scale: float, num_heads: int) -> jax.Array:
     # Mosaic shape cast as of jax 0.9 — keep it opt-in for future toolchains
     kernel = (_mha_packed_kernel_batched
               if os.environ.get("THMR_ATTN_BATCHED", "0") == "1"
+              and bias is None
               else _mha_packed_kernel)
     scratch = []
     if kernel is _mha_packed_kernel:
         scratch = [pltpu.VMEM((num_heads, S, S), jnp.float32)]
+    in_specs = [pl.BlockSpec((1, S, THD), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [qkv]
+    kw = dict(scale=scale, num_heads=num_heads, head_dim=D)
+    if kernel is _mha_packed_kernel:
+        kw["has_bias"] = bias is not None
+        if bias is not None:
+            # (B, 1, S): a (1, 1, S) block keeps the last-two-dims tiling
+            # constraint happy (a 2-D (1, S) block would put 1 in the
+            # sublane dim, which Mosaic rejects)
+            in_specs.append(pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0),
+                                         memory_space=pltpu.VMEM))
+            args.append(bias.astype(jnp.float32)[:, None, :])
     out = pl.pallas_call(
-        functools.partial(kernel, scale=scale,
-                          num_heads=num_heads, head_dim=D),
+        functools.partial(kernel, **kw),
         grid=(B,),
-        in_specs=[pl.BlockSpec((1, S, THD), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, S, HD), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, S, HD), qkv.dtype),
@@ -196,7 +226,7 @@ def _mha_packed_impl(qkv: jax.Array, scale: float, num_heads: int) -> jax.Array:
             bytes_accessed=qkv.size * qkv.dtype.itemsize,
             transcendentals=B * num_heads * S * S,
         ),
-    )(qkv)
+    )(*args)
     return out
 
 
@@ -209,9 +239,14 @@ def _mha_packed_impl(qkv: jax.Array, scale: float, num_heads: int) -> jax.Array:
 # ms/layer at B=128) never touches HBM.
 # ---------------------------------------------------------------------------
 
-def _mha_packed_q8_kernel(qkv_ref, o_ref, s_ref, sc_ref, ob_ref, *,
-                          scale: float, num_heads: int, head_dim: int,
-                          block_rows: int):
+def _mha_packed_q8_kernel(*refs, scale: float, num_heads: int, head_dim: int,
+                          block_rows: int, has_bias: bool = False):
+    qkv_ref = refs[0]
+    bias_ref = refs[1] if has_bias else None
+    o_ref = refs[1 + has_bias]
+    s_ref = refs[2 + has_bias]
+    sc_ref = refs[3 + has_bias]
+    ob_ref = refs[4 + has_bias]
     HD = num_heads * head_dim
     for b in range(block_rows):
         for h in range(num_heads):
@@ -223,6 +258,8 @@ def _mha_packed_q8_kernel(qkv_ref, o_ref, s_ref, sc_ref, ob_ref, *,
             )
         for h in range(num_heads):
             s = sc_ref[h] * scale
+            if bias_ref is not None:  # per-key bias (ToMe log sizes)
+                s = s + bias_ref[b]
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m)
             # denom folded into the (S, D) output instead of the (S, T)
@@ -239,23 +276,31 @@ def _mha_packed_q8_kernel(qkv_ref, o_ref, s_ref, sc_ref, ob_ref, *,
 
 
 def mha_packed_q8(qkv: jax.Array, scale: float, num_heads: int,
-                  block_rows: int = 2):
+                  block_rows: int = 2, bias: Optional[jax.Array] = None):
     """(B, S, 3*H*D) -> (int8 (B, S, H*D), f32 (B, S, 1)) — inference only.
 
     block_rows batch items per grid program amortize per-program pipeline
-    overhead (0.516 vs 0.567 ms/layer standalone at B=128)."""
+    overhead (0.516 vs 0.567 ms/layer standalone at B=128).
+    bias: optional (B, S) per-key score bias (ToMe proportional attention)."""
     B, S, THD = qkv.shape
     HD = THD // 3
     D = HD // num_heads
     while block_rows > 1 and B % block_rows != 0:
         block_rows //= 2
     R = block_rows
+    in_specs = [pl.BlockSpec((R, S, THD), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [qkv]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((R, 1, S), lambda b: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias.astype(jnp.float32)[:, None, :])
     return pl.pallas_call(
         functools.partial(_mha_packed_q8_kernel, scale=scale,
-                          num_heads=num_heads, head_dim=D, block_rows=R),
+                          num_heads=num_heads, head_dim=D, block_rows=R,
+                          has_bias=bias is not None),
         grid=(B // R,),
-        in_specs=[pl.BlockSpec((R, S, THD), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((R, S, HD), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -275,7 +320,7 @@ def mha_packed_q8(qkv: jax.Array, scale: float, num_heads: int,
             bytes_accessed=qkv.size * qkv.dtype.itemsize,
             transcendentals=B * num_heads * S * S,
         ),
-    )(qkv)
+    )(*args)
 
 
 def _split_packed(qkv: jax.Array, num_heads: int):
@@ -316,12 +361,20 @@ def _mha_packed_bwd(scale, num_heads, res, g):
 mha_packed.defvjp(_mha_packed_fwd, _mha_packed_bwd)
 
 
-def mha_packed_xla(qkv: jax.Array, scale: float, num_heads: int) -> jax.Array:
+def mha_packed_bias(qkv: jax.Array, bias: jax.Array, scale: float,
+                    num_heads: int) -> jax.Array:
+    """Packed attention with a per-key additive score bias (B, S) —
+    ToMe proportional attention.  Inference-only (no custom VJP)."""
+    return _mha_packed_impl(qkv, scale, num_heads, bias=bias)
+
+
+def mha_packed_xla(qkv: jax.Array, scale: float, num_heads: int,
+                   bias: Optional[jax.Array] = None) -> jax.Array:
     """Reference path for the packed (B, S, 3HD) layout (CPU/tests)."""
     B, S, THD = qkv.shape
     HD = THD // 3
     q, k, v = _split_packed(qkv, num_heads)
-    o = mha_xla(q, k, v, scale)
+    o = mha_xla(q, k, v, scale, bias=bias)
     return o.transpose(0, 2, 1, 3).reshape(B, S, HD)
 
 
@@ -338,12 +391,14 @@ def mha(
     v: jax.Array,
     scale: Optional[float] = None,
     impl: str = "auto",
+    bias: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Fused softmax attention.  impl in {auto, pallas, xla}."""
+    """Fused softmax attention.  impl in {auto, pallas, xla}.
+    bias: optional (B, T) per-key score bias (routes through XLA)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if impl == "auto":
         impl = "pallas" if _on_tpu() else "xla"
-    if impl == "pallas":
+    if impl == "pallas" and bias is None:
         return _mha_pallas(q, k, v, float(scale))
-    return mha_xla(q, k, v, scale)
+    return mha_xla(q, k, v, scale, bias=bias)

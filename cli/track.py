@@ -40,6 +40,12 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--render", action="store_true")
+    p.add_argument("--smooth", action="store_true",
+                   help="One-Euro temporal smoothing of SMPL params per "
+                        "track (track/smoothing.py); verts are recomputed "
+                        "from the smoothed params on device")
+    p.add_argument("--smooth-min-cutoff", type=float, default=1.0)
+    p.add_argument("--smooth-beta", type=float, default=0.5)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = p.parse_args(argv)
@@ -77,7 +83,17 @@ def main(argv=None):
                            mean_params=mean_params)
         return (out["pred_vertices"], out["pred_cam"],
                 out["pred_smpl_params"]["betas"],
-                out["pred_smpl_params"]["body_pose"])
+                out["pred_smpl_params"]["body_pose"],
+                out["pred_smpl_params"]["global_orient"])
+
+    smoother = None
+    if args.smooth:
+        from tokenhmr_tpu.models.smpl import smpl_openpose_forward
+        from tokenhmr_tpu.track.smoothing import SMPLSmoother
+
+        @jax.jit
+        def smpl_forward(go, bp, betas):
+            return smpl_openpose_forward(smpl_model, betas, go, bp)["vertices"]
 
     detector = make_detector(args.detector, args.boxes_file,
                              ckpt=args.detector_ckpt)
@@ -88,6 +104,10 @@ def main(argv=None):
     if not cap.isOpened():
         raise IOError(f"cannot open video {args.video}")
     fps = cap.get(cv2.CAP_PROP_FPS) or 24
+    if args.smooth:
+        smoother = SMPLSmoother(freq=float(fps),
+                                min_cutoff=args.smooth_min_cutoff,
+                                beta=args.smooth_beta)
     writer = None
     frame_idx = 0
     all_records = []
@@ -114,7 +134,7 @@ def main(argv=None):
                     False, 1.0, 0.0)
                 crops.append((patch.astype(np.float32) - DEFAULT_MEAN) / DEFAULT_STD)
                 sizes.append(size)
-            verts, cams, betas, body_pose = model_forward(
+            verts, cams, betas, body_pose, global_orient = model_forward(
                 params, jnp.asarray(np.stack(crops)))
             scaled_focal = cfg.focal_length / crop_size * max(H, W)
             cam_full = np.asarray(cam_crop_to_full(
@@ -131,6 +151,28 @@ def main(argv=None):
                 for i in range(len(crops))
             ]
             frame_records = tracker.update(boxes[:, :4], embeds, payloads)
+            if smoother is not None and frame_records:
+                # smooth pose/betas/cam per track, then ONE batched SMPL
+                # forward on device for the smoothed vertices
+                go_np = np.asarray(global_orient)
+                bp_np = np.asarray(body_pose)
+                sm_go, sm_bp, sm_b, ids = [], [], [], []
+                for i, r in enumerate(frame_records):
+                    g, b, be, ct = smoother.update(
+                        r["track_id"], go_np[i], bp_np[i],
+                        r["payload"]["betas"], r["payload"]["cam_t"])
+                    sm_go.append(g)
+                    sm_bp.append(b)
+                    sm_b.append(be)
+                    r["payload"]["cam_t"] = ct
+                    r["payload"]["betas"] = be
+                    ids.append(r["track_id"])
+                sm_verts = np.asarray(smpl_forward(
+                    jnp.asarray(np.stack(sm_go)), jnp.asarray(np.stack(sm_bp)),
+                    jnp.asarray(np.stack(sm_b))))
+                for i, r in enumerate(frame_records):
+                    r["payload"]["verts"] = sm_verts[i]
+                smoother.prune(t.track_id for t in tracker.tracks)
         all_records.append([
             {"track_id": r["track_id"], "box": r["box"].tolist()}
             for r in frame_records

@@ -51,22 +51,42 @@ def main():
         # the head's decoder cross-attn projections are ~4 ms/step in f32
         # (head is <2% of model FLOPs; bf16 noise is negligible there)
         import dataclasses
+        # BENCH_HEAD_QUANT=1 runs the decoder kv projection in int8 too:
+        # measured a net LOSS with token merging (1156 vs 1260 at the
+        # 4:32,... schedule) — per-layer dynamic quant of the small merged
+        # context costs more than the matmul saves.  Off by default.
+        dec_quant = (quant if os.environ.get("BENCH_HEAD_QUANT", "0") == "1"
+                     and quant == "int8" else None)
         head = dataclasses.replace(
             cfg.head, dtype=jnp.bfloat16,
-            decoder=dataclasses.replace(cfg.head.decoder, dtype=jnp.bfloat16))
+            decoder=dataclasses.replace(cfg.head.decoder, dtype=jnp.bfloat16,
+                                        quant=dec_quant))
         cfg = dataclasses.replace(cfg, head=head)
-    merge = os.environ.get("BENCH_MERGE", "")
+    # ToMe token merging (ops/merge.py): "8:32,16:32,24:32" = merge 32
+    # tokens before blocks 8/16/24 (192 -> 160 -> 128 -> 96 tokens).  The
+    # default is the moderate ToMe operating point (~r=4/layer equivalent;
+    # the ToMe paper measures <0.5% degradation on off-the-shelf ViT-H
+    # there).  BENCH_MERGE=off for the exact reference graph; any
+    # "block:r,..." string for a custom schedule.  Measured curve on v5e
+    # (docs/PERF_NOTES.md): off 908, 16:32,24:32 983, default 1095,
+    # 4:32,10:32,16:32,22:32 1260 crops/s.
+    merge = os.environ.get("BENCH_MERGE", "8:32,16:32,24:32")
+    if merge.lower() in ("off", "none", "0"):
+        merge = ""
     if merge:
-        # ToMe token merging (ops/merge.py): "8:32,16:32,24:32" = merge 32
-        # tokens before blocks 8/16/24 (192 -> 160 -> 128 -> 96).  Off by
-        # default: it changes which tokens exist, so outputs are not
-        # bit-comparable to the reference graph (accuracy vs speed knob).
         import dataclasses
         sched = tuple(
             tuple(int(v) for v in part.split(":")) for part in merge.split(",")
         )
         cfg = dataclasses.replace(
             cfg, vit=dataclasses.replace(cfg.vit, merge_schedule=sched))
+    attn = os.environ.get("BENCH_ATTN", "")
+    if attn:
+        # A/B the attention implementation (auto|pallas|xla); with token
+        # merging the small-S tradeoff can differ from the S=192 measurement
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, vit=dataclasses.replace(cfg.vit, attn_impl=attn))
     if os.environ.get("BENCH_BF16_PARAMS", "1") == "1":
         # store weights in bf16: halves weight HBM traffic, removes the
         # per-layer f32->bf16 cast; accuracy impact is within bf16 compute
@@ -113,9 +133,34 @@ def main():
 
     # warmup/compile (value readback forces a REAL sync; block_until_ready
     # has been observed returning early on tunneled PJRT backends)
-    for _ in range(warmup):
-        v, c = pixels_to_vertices(params, crops)
-    float(jnp.sum(v))
+    try:
+        for _ in range(warmup):
+            v, c = pixels_to_vertices(params, crops)
+        float(jnp.sum(v))
+    except Exception as e:
+        if not merge:
+            raise
+        # borderline pallas tiles can OOM scoped VMEM in rare fusion
+        # contexts with some merge schedules (docs/PERF_NOTES.md round 2);
+        # the bench must never fail on the default config, so fall back to
+        # the exact (unmerged) graph
+        print(f"# merge schedule failed to compile ({type(e).__name__}); "
+              f"falling back to exact graph", file=sys.stderr)
+        merge = ""
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, vit=dataclasses.replace(cfg.vit, merge_schedule=()))
+
+        @jax.jit
+        def pixels_to_vertices(params, crops_u8):
+            x = crops_u8.astype(jnp.float32) / 255.0
+            x = (x - mean) / std
+            out = forward_step(params, frozen, cfg, smpl_model, x)
+            return out["pred_vertices"], out["pred_cam_t"]
+
+        for _ in range(warmup):
+            v, c = pixels_to_vertices(params, crops)
+        float(jnp.sum(v))
 
     if os.environ.get("BENCH_CHECK", "0") == "1":
         # accuracy vs the exact bf16 graph (no quant, no merging), in SMPL
@@ -151,6 +196,7 @@ def main():
         "value": round(crops_per_sec, 2),
         "unit": "256x192 crops/sec/chip (pixels->SMPL vertices)",
         "vs_baseline": round(crops_per_sec / BASELINE_CROPS_PER_SEC, 4),
+        "config": f"quant={quant} merge={merge or 'off'} B={batch_size}",
     }))
 
 

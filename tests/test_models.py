@@ -285,6 +285,61 @@ class TestPackedAttention:
         np.testing.assert_allclose(deq, np.asarray(ref),
                                    atol=max_scale * 0.51 + 1e-6)
 
+    def test_packed_kernel_bias_interpret_matches_xla(self):
+        """Per-key score bias (ToMe proportional attention) in the packed
+        kernel == the XLA reference with the same bias."""
+        from tokenhmr_tpu.ops import attention as A
+        import functools
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        rng = np.random.RandomState(5)
+        B, S, H, D = 2, 16, 2, 8
+        qkv = jnp.asarray(rng.randn(B, S, 3 * H * D).astype(np.float32))
+        bias = jnp.asarray(np.log(rng.randint(1, 5, (B, S))).astype(np.float32))
+        out = pl.pallas_call(
+            functools.partial(A._mha_packed_kernel, scale=D ** -0.5,
+                              num_heads=H, head_dim=D, has_bias=True),
+            grid=(B,),
+            in_specs=[pl.BlockSpec((1, S, 3 * H * D), lambda b: (b, 0, 0)),
+                      pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0))],
+            out_specs=pl.BlockSpec((1, S, H * D), lambda b: (b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, S, H * D), qkv.dtype),
+            scratch_shapes=[pltpu.VMEM((H, S, S), jnp.float32)],
+            interpret=True,
+        )(qkv, bias[:, None, :])
+        ref = A.mha_packed_xla(qkv, D ** -0.5, H, bias=bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_packed_q8_kernel_bias_interpret_matches_xla(self):
+        from tokenhmr_tpu.ops import attention as A
+        import functools
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        rng = np.random.RandomState(6)
+        B, S, H, D = 2, 16, 2, 8
+        qkv = jnp.asarray(rng.randn(B, S, 3 * H * D).astype(np.float32))
+        bias = jnp.asarray(np.log(rng.randint(1, 5, (B, S))).astype(np.float32))
+        oq, os_ = pl.pallas_call(
+            functools.partial(A._mha_packed_q8_kernel, scale=D ** -0.5,
+                              num_heads=H, head_dim=D, block_rows=1,
+                              has_bias=True),
+            grid=(B,),
+            in_specs=[pl.BlockSpec((1, S, 3 * H * D), lambda b: (b, 0, 0)),
+                      pl.BlockSpec((1, 1, S), lambda b: (b, 0, 0))],
+            out_specs=(pl.BlockSpec((1, S, H * D), lambda b: (b, 0, 0)),
+                       pl.BlockSpec((1, S, 1), lambda b: (b, 0, 0))),
+            out_shape=(jax.ShapeDtypeStruct((B, S, H * D), jnp.int8),
+                       jax.ShapeDtypeStruct((B, S, 1), jnp.float32)),
+            scratch_shapes=[pltpu.VMEM((H, S, S), jnp.float32),
+                            pltpu.VMEM((S, H * D), jnp.float32)],
+            interpret=True,
+        )(qkv, bias[:, None, :])
+        ref = A.mha_packed_xla(qkv, D ** -0.5, H, bias=bias)
+        deq = np.asarray(oq, np.float32) * np.asarray(os_)
+        max_scale = float(np.max(np.asarray(os_)))
+        np.testing.assert_allclose(deq, np.asarray(ref),
+                                   atol=max_scale * 0.51 + 1e-6)
+
     def test_packed_vjp_matches_autodiff(self):
         from tokenhmr_tpu.ops.attention import mha_packed_xla
         from tokenhmr_tpu.ops import attention as A

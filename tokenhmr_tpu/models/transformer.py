@@ -35,6 +35,10 @@ class DecoderConfig:
     emb_dropout: float = 0.0
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # "int8": W8A8 path for the cross-attn kv projection over the (B, S,
+    # 1280) backbone context — the only head matmul with a large row count
+    # (everything else runs at N=1 query tokens).  Inference only.
+    quant: str | None = None
 
 
 class _SelfAttention(nn.Module):
@@ -63,7 +67,14 @@ class _CrossAttention(nn.Module):
         inner = c.heads * c.dim_head
         B, N, _ = x.shape
         T = context.shape[1]
-        kv = nn.Dense(inner * 2, use_bias=False, dtype=c.dtype, name="to_kv")(context)
+        if c.quant == "int8":
+            # QDense only reads .quant/.dtype from its cfg and creates the
+            # identical {"kernel"} param tree as nn.Dense
+            from .vit import QDense
+            kv = QDense(inner * 2, c, use_bias=False, name="to_kv")(context)
+        else:
+            kv = nn.Dense(inner * 2, use_bias=False, dtype=c.dtype,
+                          name="to_kv")(context)
         k, v = jnp.split(kv, 2, axis=-1)
         q = nn.Dense(inner, use_bias=False, dtype=c.dtype, name="to_q")(x)
         q = q.reshape(B, N, c.heads, c.dim_head).transpose(0, 2, 1, 3)

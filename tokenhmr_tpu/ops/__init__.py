@@ -1,1 +1,1 @@
-from . import rotations, projection, procrustes, crop
+from . import rotations, projection, procrustes, crop, merge

@@ -276,15 +276,22 @@ def _mha_packed_q8_kernel(*refs, scale: float, num_heads: int, head_dim: int,
 
 
 def mha_packed_q8(qkv: jax.Array, scale: float, num_heads: int,
-                  block_rows: int = 2, bias: Optional[jax.Array] = None):
+                  block_rows: Optional[int] = None,
+                  bias: Optional[jax.Array] = None):
     """(B, S, 3*H*D) -> (int8 (B, S, H*D), f32 (B, S, 1)) — inference only.
 
     block_rows batch items per grid program amortize per-program pipeline
-    overhead (0.516 vs 0.567 ms/layer standalone at B=128).
+    overhead (0.516 vs 0.567 ms/layer standalone at B=128 and S=192).
+    Scaling rows with S at token-merged sizes measured WORSE (1590 vs 1626
+    crops/s e2e at the aggressive merge schedule) — keep 2.
     bias: optional (B, S) per-key score bias (ToMe proportional attention)."""
     B, S, THD = qkv.shape
     HD = THD // 3
     D = HD // num_heads
+    import os
+    if block_rows is None:
+        block_rows = 2
+    block_rows = int(os.environ.get("THMR_ATTN_ROWS", block_rows))
     while block_rows > 1 and B % block_rows != 0:
         block_rows //= 2
     R = block_rows

@@ -49,7 +49,10 @@ def bipartite_soft_match(
     """
     B, S, C = metric.shape
     SA = (S + 1) // 2
-    assert 0 < r < SA, (r, SA)
+    assert 0 < r < SA, (
+        f"cannot merge r={r} of S={S} tokens: bipartite matching merges "
+        f"at most ceil(S/2)-1 = {SA - 1} per step (split the merge across "
+        f"two schedule entries instead)")
 
     m = metric.astype(jnp.float32)
     m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-6)

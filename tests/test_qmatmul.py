@@ -134,9 +134,14 @@ class TestQuantViT:
         ccfg = dataclasses.replace(cfg, quant="calib")
         _, qcol = ViT(ccfg).apply(params, x, mutable=["quant"])
         scales = qcol["quant"]
-        # sanity: one (depth, hidden) stacked scale tensor
-        leaves = jax.tree_util.tree_leaves(scales)
-        assert len(leaves) == 1 and leaves[0].shape == (2, 512)
+        # the collection carries the (depth, hidden) stacked fc1 scales plus
+        # pre-quantized weights (w_q int8 + w_s) for each of the 4 dense
+        # layers per block
+        blocks = scales["blocks"]
+        assert blocks["mlp"]["fc1_out_scale"].shape == (2, 512)
+        assert blocks["mlp"]["fc1"]["w_q"].dtype == jnp.int8
+        assert blocks["mlp"]["fc2"]["w_q"].shape == (2, 512, 128)
+        assert blocks["attn"]["qkv"]["w_q"].dtype == jnp.int8
 
         qcfg = dataclasses.replace(cfg, quant="int8")
         out_static = ViT(qcfg).apply(

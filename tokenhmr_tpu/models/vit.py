@@ -121,11 +121,14 @@ class QDense(nn.Module):
 
     @nn.compact
     def __call__(self, x, residual=None, x_prequant=None, in_scale=None,
-                 quant_out_scale=None):
+                 quant_out_scale=None, calib_in_scale=None):
         """x_prequant: (int8, row-scales-or-None) from a producer kernel that
         already quantized (skips the quant pass); residual: fused
         `out + residual`; in_scale/quant_out_scale: static per-channel
-        scales (see ops/qmatmul.int8_dense)."""
+        scales (see ops/qmatmul.int8_dense).  calib_in_scale: in calib mode,
+        fold these producer scales into the recorded weight quantization
+        (the consumer will then pass x_prequant with a None scale and no
+        in_scale — the fold is baked into w_q/w_s)."""
         c = self.cfg
         in_features = (x_prequant[0] if x_prequant is not None else x).shape[-1]
         kernel = self.param(
@@ -136,11 +139,32 @@ class QDense(nn.Module):
             self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             if self.use_bias else None
         )
+        if c.quant == "calib":
+            # record pre-quantized weights once (per-channel int8 + scales)
+            # so inference skips the per-step quantize_cols pass
+            from ..ops.qmatmul import quantize_cols
+            w = kernel.astype(jnp.float32)
+            if calib_in_scale is not None:
+                w = w * calib_in_scale.reshape(in_features, 1)
+            wq_c, ws_c = quantize_cols(w)
+            self.variable("quant", "w_q",
+                          lambda: jnp.zeros(w.shape, jnp.int8)).value = wq_c
+            self.variable("quant", "w_s",
+                          lambda: jnp.ones((1, self.features), jnp.float32)
+                          ).value = ws_c
         if c.quant == "int8":
+            w_prequant = None
+            if self.has_variable("quant", "w_q"):
+                w_prequant = (
+                    self.variable("quant", "w_q", lambda: None).value,
+                    self.variable("quant", "w_s", lambda: None).value,
+                )
+                in_scale = None  # fold already baked into w_q/w_s
             return int8_dense(x, kernel, bias, act=self.act, out_dtype=c.dtype,
                               residual=residual, x_prequant=x_prequant,
                               in_scale=in_scale,
-                              quant_out_scale=quant_out_scale)
+                              quant_out_scale=quant_out_scale,
+                              w_prequant=w_prequant)
         y = jnp.dot(x, kernel.astype(c.dtype))
         if bias is not None:
             y = y + bias.astype(c.dtype)
@@ -227,6 +251,7 @@ class ViTMlp(nn.Module):
             return QDense(c.embed_dim, c, name="fc2")(
                 None, residual=residual, x_prequant=(hq, None), in_scale=s)
         h = QDense(hidden, c, act=act, name="fc1")(x, x_prequant=x_prequant)
+        fc2_calib_scale = None
         if c.quant == "calib":
             # calibration pass: record per-channel max |fc1 output| for the
             # static-quant inference path (run with mutable=["quant"])
@@ -234,8 +259,14 @@ class ViTMlp(nn.Module):
                                  lambda: jnp.ones((hidden,), jnp.float32))
             amax = jnp.max(jnp.abs(h.astype(jnp.float32)),
                            axis=tuple(range(h.ndim - 1)))
-            stat.value = jnp.maximum(amax, 1e-6) / 127.0
-        return QDense(c.embed_dim, c, name="fc2")(h, residual=residual)
+            # 10% headroom over the calibration batch, folded here so the
+            # fc2 weight fold below sees the SAME scales inference will use
+            stat.value = jnp.maximum(amax, 1e-6) * 1.1 / 127.0
+            # fold the fc1 output scales into fc2's recorded weight quant
+            # (inference then runs the static x_prequant path, scale-free)
+            fc2_calib_scale = stat.value
+        return QDense(c.embed_dim, c, name="fc2")(
+            h, residual=residual, calib_in_scale=fc2_calib_scale)
 
 
 class ViTBlock(nn.Module):

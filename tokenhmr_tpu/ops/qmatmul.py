@@ -256,6 +256,7 @@ def int8_dense(
     x_prequant: Optional[tuple] = None,
     in_scale: Optional[jax.Array] = None,
     quant_out_scale: Optional[jax.Array] = None,
+    w_prequant: Optional[tuple] = None,
 ) -> jax.Array:
     """Drop-in quantized replacement for `act(x @ w + b) [+ residual]`.
 
@@ -266,6 +267,10 @@ def int8_dense(
     then be None.  A None scale means STATIC per-channel quantization: pass
     the producer's per-channel scales as `in_scale` (K,) and they are folded
     into the weight quantization (W' = diag(in_scale) @ W), SmoothQuant-style.
+    w_prequant: optional (int8 (K, N), f32 (1, N)) pre-quantized weights —
+    skips the per-call quantize_cols pass (weights quantized once at model
+    load / calibration).  Any in_scale fold must already be baked in; `w`
+    may then be None.
     quant_out_scale: (N,) static per-channel output scales — the result is
     returned as int8 (act(xw+b)/scale, rounded+clipped); lets XLA fuse the
     downstream consumer's quantization into this matmul's epilogue so the
@@ -280,7 +285,9 @@ def int8_dense(
         K = xq_nd.shape[-1]
         xq = xq_nd.reshape(-1, K)
         if xs_nd is None:
-            assert in_scale is not None, "static x_prequant needs in_scale"
+            assert in_scale is not None or w_prequant is not None, (
+                "static x_prequant needs in_scale (or w_prequant with the "
+                "fold baked in)")
             xs = jnp.ones((xq.shape[0], 1), jnp.float32)
         else:
             xs = xs_nd.reshape(-1, 1)
@@ -289,10 +296,18 @@ def int8_dense(
         lead = x.shape[:-1]
         K = x.shape[-1]
         xq, xs = quantize_rows(x.reshape(-1, K))
-    N = w.shape[-1]
-    if in_scale is not None:
-        w = w.astype(jnp.float32) * in_scale.reshape(K, 1)
-    wq, ws = quantize_cols(w)
+    if w_prequant is not None:
+        wq, ws = w_prequant
+        ws = ws.reshape(1, -1)
+        N = wq.shape[-1]
+        assert in_scale is None, (
+            "w_prequant must already include any in_scale fold; don't pass "
+            "in_scale alongside it")
+    else:
+        N = w.shape[-1]
+        if in_scale is not None:
+            w = w.astype(jnp.float32) * in_scale.reshape(K, 1)
+        wq, ws = quantize_cols(w)
     if quant_out_scale is not None:
         # static-out path is elementwise after the dot -> let XLA fuse it
         assert residual is None

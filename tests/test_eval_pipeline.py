@@ -105,3 +105,24 @@ class TestEvalCli:
         assert names == {"mode_mpjpe", "mode_re", "mode_pve"}
         for r in rows:
             assert np.isfinite(float(r["metric_value"]))
+
+    def test_tiny_end_to_end_with_merge(self, tmp_path):
+        """--merge exercises the ToMe inference path through the eval CLI."""
+        _make_synthetic_dataset(str(tmp_path))
+        from cli.eval import main
+
+        results = str(tmp_path / "results_merge.csv")
+        main([
+            "--dataset", "3DPW-TEST",
+            "--dataset-dir", str(tmp_path),
+            "--results-file", results,
+            "--batch-size", "3",
+            "--tiny",
+            "--merge", "1:2",
+            "--num-workers", "2",
+        ])
+        with open(results) as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 3
+        for r in rows:
+            assert np.isfinite(float(r["metric_value"]))

@@ -5,9 +5,12 @@ pre-norm TransformerCrossAttn (self-attn, cross-attn over backbone tokens,
 FFN), learned query pos-embed, token-dropout variants.  Query length is 1
 in TokenHMR, context is the 192 ViT tokens.
 
-The AdaptiveLayerNorm1D / FrequencyEmbedder conditional-MLP machinery of
-`t_cond_mlp.py` is intentionally dropped: TokenHMR's released configs use
-plain LayerNorm (`norm: layer`), and conditional norm was dead code there.
+The conditional-MLP machinery of `t_cond_mlp.py` (AdaptiveLayerNorm1D
+:7-33, ResidualMLP :139-177, FrequencyEmbedder :180-198) is provided here
+as `norm="ada"` + `AdaptiveLayerNorm`/`ResidualMLP`/`frequency_embed`.
+TokenHMR's released configs use plain LayerNorm (`norm: layer`), so the
+default path never pays for it — the conditional branch only materializes
+when `DecoderConfig.norm == "ada"`.
 """
 from __future__ import annotations
 
@@ -39,6 +42,90 @@ class DecoderConfig:
     # 1280) backbone context — the only head matmul with a large row count
     # (everything else runs at N=1 query tokens).  Inference only.
     quant: str | None = None
+    # "layer" (released configs) or "ada": FiLM-conditioned LayerNorm
+    # (ref t_cond_mlp.py:7-33 via pose_transformer.py `norm` option).
+    # "ada" requires a `norm_cond` (B, norm_cond_dim) argument.
+    norm: str = "layer"
+    norm_cond_dim: int = -1
+
+
+class AdaptiveLayerNorm(nn.Module):
+    """FiLM-style conditional LayerNorm (ref t_cond_mlp.py:7-33).
+
+    `x` is layer-normalized (learned affine, like the torch default), then
+    scaled/shifted by `(1 + alpha, beta)` predicted from the condition by a
+    zeros-initialized linear — at init this IS plain LayerNorm, matching the
+    torch `init.zeros_` on both weight and bias.
+    """
+
+    dim: int
+    cond_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cond):
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
+        ab = nn.Dense(2 * self.dim, dtype=jnp.float32,
+                      kernel_init=nn.initializers.zeros,
+                      bias_init=nn.initializers.zeros, name="linear")(
+            cond.astype(jnp.float32))
+        alpha, beta = jnp.split(ab, 2, axis=-1)
+        # broadcast (B, dim) over any middle axes of x, e.g. (B, N, dim)
+        shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (self.dim,)
+        out = h * (1.0 + alpha.reshape(shape)) + beta.reshape(shape)
+        return out.astype(self.dtype)
+
+
+def frequency_embed(x: jax.Array, num_frequencies: int,
+                    max_freq_log2: float) -> jax.Array:
+    """NeRF-style sin/cos embedding (ref t_cond_mlp.py:180-198).
+
+    x: (N,) or (N, D) -> (N, D * (2*num_frequencies + 1)).
+    """
+    if x.ndim == 1:
+        x = x[:, None]
+    n = x.shape[0]
+    freqs = 2.0 ** jnp.linspace(0.0, max_freq_log2, num_frequencies)
+    scaled = x[..., None] * freqs  # (N, D, F)
+    return jnp.concatenate(
+        [jnp.sin(scaled), jnp.cos(scaled), x[..., None]], axis=-1
+    ).reshape(n, -1)
+
+
+class ResidualMLP(nn.Module):
+    """linear+norm+act stem, residual hidden blocks, linear readout
+    (ref t_cond_mlp.py:104-177).  norm="ada" threads `cond` through every
+    normalization layer, exactly like SequentialCond does in torch."""
+
+    hidden_dim: int
+    num_hidden_layers: int
+    output_dim: int
+    num_blocks: int = 1
+    norm: str = "layer"
+    norm_cond_dim: int = -1
+    dtype: jnp.dtype = jnp.float32
+
+    def _norm(self, x, cond, name):
+        if self.norm == "ada":
+            return AdaptiveLayerNorm(self.hidden_dim, self.norm_cond_dim,
+                                     self.dtype, name=name)(x, cond)
+        if self.norm == "layer":
+            return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                name=name)(x).astype(self.dtype)
+        raise ValueError(f"unknown norm {self.norm!r}")
+
+    @nn.compact
+    def __call__(self, x, cond=None):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="stem")(x)
+        x = nn.relu(self._norm(x, cond, "stem_norm"))
+        for b in range(self.num_blocks):
+            h = x
+            for i in range(self.num_hidden_layers):
+                h = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                             name=f"block{b}_fc{i}")(h)
+                h = nn.relu(self._norm(h, cond, f"block{b}_norm{i}"))
+            x = x + h
+        return nn.Dense(self.output_dim, dtype=self.dtype, name="out")(x)
 
 
 class _SelfAttention(nn.Module):
@@ -104,16 +191,26 @@ class TransformerCrossAttn(nn.Module):
 
     cfg: DecoderConfig
 
+    def _norm(self, x, norm_cond, name):
+        c = self.cfg
+        if c.norm == "ada":
+            assert norm_cond is not None, 'norm="ada" needs norm_cond'
+            return AdaptiveLayerNorm(c.dim, c.norm_cond_dim, c.dtype,
+                                     name=name)(x, norm_cond)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                            name=name)(x).astype(c.dtype)
+
     @nn.compact
-    def __call__(self, x, context, deterministic=True, context_bias=None):
+    def __call__(self, x, context, deterministic=True, context_bias=None,
+                 norm_cond=None):
         c = self.cfg
         for i in range(c.depth):
-            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"sa_norm{i}")(x).astype(c.dtype)
+            h = self._norm(x, norm_cond, f"sa_norm{i}")
             x = x + _SelfAttention(c, name=f"sa{i}")(h, deterministic)
-            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"ca_norm{i}")(x).astype(c.dtype)
+            h = self._norm(x, norm_cond, f"ca_norm{i}")
             x = x + _CrossAttention(c, name=f"ca{i}")(h, context, deterministic,
                                                       context_bias=context_bias)
-            h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"ff_norm{i}")(x).astype(c.dtype)
+            h = self._norm(x, norm_cond, f"ff_norm{i}")
             x = x + _FeedForward(c, name=f"ff{i}")(h, deterministic)
         return x
 
@@ -128,7 +225,8 @@ class TransformerDecoder(nn.Module):
     cfg: DecoderConfig
 
     @nn.compact
-    def __call__(self, inp, context, train: bool = False, context_bias=None):
+    def __call__(self, inp, context, train: bool = False, context_bias=None,
+                 norm_cond=None):
         c = self.cfg
         x = nn.Dense(c.dim, dtype=c.dtype, name="to_token_embedding")(inp)
         B, N, _ = x.shape
@@ -145,4 +243,5 @@ class TransformerDecoder(nn.Module):
         )
         x = x + pos[:, :N].astype(x.dtype)
         return TransformerCrossAttn(c, name="transformer")(
-            x, context, not train, context_bias=context_bias)
+            x, context, not train, context_bias=context_bias,
+            norm_cond=norm_cond)

@@ -233,6 +233,11 @@ def main(argv=None):
         with open(os.path.join(args.out_dir, "hparams.json"), "w") as f:
             json.dump({"args": vars(args), "param_counts": counts}, f,
                       indent=2, default=str)
+        # config tree dump (ref rich_utils.print_config_tree)
+        from tokenhmr_tpu.utils.configs import print_config_tree
+        print_config_tree(
+            {"args": vars(args), "model": cfg}, title="CONFIG",
+            save_to_file=os.path.join(args.out_dir, "config_tree.txt"))
     optimizer = make_optimizer(args.lr, args.weight_decay, args.grad_clip)
     adversarial = args.adv_weight > 0
 

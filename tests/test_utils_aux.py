@@ -1,0 +1,77 @@
+"""Config tree printing (ref rich_utils.py) and artifact download/cache
+helpers (ref download.py / fetch_demo_data.sh)."""
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from tokenhmr_tpu.utils import artifacts as A
+from tokenhmr_tpu.utils.configs import format_config_tree, print_config_tree
+
+
+@dataclasses.dataclass(frozen=True)
+class _Inner:
+    depth: int = 2
+    dtype: str = "bf16"
+
+
+@dataclasses.dataclass(frozen=True)
+class _Outer:
+    name: str = "tiny"
+    inner: _Inner = _Inner()
+
+
+class TestConfigTree:
+    def test_dataclass_tree(self):
+        text = format_config_tree(_Outer())
+        assert text.splitlines()[0] == "CONFIG"
+        assert "├── name: 'tiny'" in text
+        assert "└── inner" in text
+        assert "depth: 2" in text and "dtype: 'bf16'" in text
+
+    def test_nested_dict_and_namespace(self):
+        import argparse
+        ns = argparse.Namespace(lr=1e-4, steps=10)
+        text = format_config_tree({"train": {"ns": ns}, "flag": True})
+        assert "lr: 0.0001" in text and "flag: True" in text
+
+    def test_print_and_save(self, tmp_path, capsys):
+        out = str(tmp_path / "tree.txt")
+        print_config_tree({"a": 1}, save_to_file=out)
+        assert "a: 1" in capsys.readouterr().out
+        assert "a: 1" in open(out).read()
+
+
+class TestArtifacts:
+    def test_cache_url_passthrough_for_local_paths(self, tmp_path):
+        p = str(tmp_path / "weights.pkl")
+        assert A.cache_url(p, str(tmp_path / "cache.pkl")) == p
+
+    def test_cache_url_skips_existing(self, tmp_path):
+        cached = tmp_path / "got.bin"
+        cached.write_bytes(b"x")
+        # URL is never touched because the cache file exists
+        out = A.cache_url("https://invalid.example/file", str(cached))
+        assert out == str(cached)
+
+    def test_download_url_file_scheme(self, tmp_path):
+        src = tmp_path / "src.bin"
+        payload = np.random.RandomState(0).bytes(100_000)
+        src.write_bytes(payload)
+        dst = tmp_path / "dst.bin"
+        n = A.download_url(src.as_uri(), str(dst), progress_hook=None)
+        assert n == len(payload)
+        assert dst.read_bytes() == payload
+        assert not os.path.exists(str(dst) + ".part")
+
+    def test_fetch_unknown_artifact(self):
+        with pytest.raises(KeyError):
+            A.fetch("nope", "https://x.example/f")
+
+    def test_fetch_layout(self, tmp_path):
+        src = tmp_path / "ckpt.bin"
+        src.write_bytes(b"model")
+        # non-URL passes through; known names map to the standard layout
+        assert A.fetch("tokenizer_ckpt", str(src), str(tmp_path)) == str(src)
+        assert A.ARTIFACT_PATHS["smpl_neutral"].endswith("SMPL_NEUTRAL.pkl")

@@ -129,3 +129,60 @@ def expand_grid(cfg: Dict, grid_fields: Sequence[str] = ()) -> List[Dict]:
             _set_path(c, k, val)
         configs.append(c)
     return configs
+
+
+# ---------------------------------------------------------------------------
+# Config tree printing / export (ref lib/utils/rich_utils.py:18-76 —
+# hydra+rich replaced by a dependency-free unicode tree, rank-zero guarded)
+# ---------------------------------------------------------------------------
+
+def _to_plain(cfg: Any) -> Any:
+    """dataclass / dict / namespace -> plain nested dict (leaves repr'd)."""
+    import dataclasses as _dc
+    if _dc.is_dataclass(cfg) and not isinstance(cfg, type):
+        return {f.name: _to_plain(getattr(cfg, f.name)) for f in _dc.fields(cfg)}
+    if isinstance(cfg, dict):
+        return {str(k): _to_plain(v) for k, v in cfg.items()}
+    if hasattr(cfg, "__dict__") and not isinstance(cfg, (list, tuple)):
+        d = vars(cfg)
+        if d:
+            return {k: _to_plain(v) for k, v in d.items()}
+    return cfg
+
+
+def format_config_tree(cfg: Any, title: str = "CONFIG") -> str:
+    """Render a config (dataclass tree, dict, argparse Namespace) as an
+    indented unicode tree, like the reference's rich.tree dump."""
+    lines = [title]
+
+    def walk(d: Dict, indent: str) -> None:
+        items = list(d.items())
+        for i, (k, v) in enumerate(items):
+            last = i == len(items) - 1
+            branch = "└── " if last else "├── "
+            cont = "    " if last else "│   "
+            if isinstance(v, dict):
+                lines.append(f"{indent}{branch}{k}")
+                walk(v, indent + cont)
+            else:
+                lines.append(f"{indent}{branch}{k}: {v!r}")
+
+    plain = _to_plain(cfg)
+    if not isinstance(plain, dict):
+        return f"{title}: {plain!r}"
+    walk(plain, "")
+    return "\n".join(lines)
+
+
+def print_config_tree(cfg: Any, title: str = "CONFIG",
+                      save_to_file: str | None = None) -> None:
+    """Print (and optionally save) the config tree, on process 0 only
+    (ref rich_utils.print_config_tree @rank_zero_only)."""
+    import jax
+    if jax.process_index() != 0:
+        return
+    text = format_config_tree(cfg, title)
+    print(text)
+    if save_to_file:
+        with open(save_to_file, "w") as f:
+            f.write(text + "\n")

@@ -75,3 +75,48 @@ class TestArtifacts:
         # non-URL passes through; known names map to the standard layout
         assert A.fetch("tokenizer_ckpt", str(src), str(tmp_path)) == str(src)
         assert A.ARTIFACT_PATHS["smpl_neutral"].endswith("SMPL_NEUTRAL.pkl")
+
+
+class TestClusterSubmit:
+    def test_generates_runner_and_sbatch(self, tmp_path):
+        from tokenhmr_tpu.utils import cluster as C
+
+        sub = C.execute_task_on_cluster(
+            "cli/train_tokenizer.py", "vq_grid",
+            script_args=["--quantizer", "ema_reset"],
+            out_root=str(tmp_path), num_exp=4, num_workers=6,
+            memory_mb=32000, tpu_gres="tpu:v5e:8",
+            exclude_nodes="node1-node2")
+        text = open(sub).read()
+        assert "#SBATCH --array=0-3" in text
+        assert "#SBATCH --signal=TERM@120" in text
+        assert "#SBATCH --requeue" in text
+        assert "#SBATCH --gres=tpu:v5e:8" in text
+        assert "#SBATCH --exclude=node1,node2" in text
+        runner = open(str(tmp_path / "vq_grid_run.sh")).read()
+        assert "--cls-id $TASK_ID" in runner
+        assert "--quantizer ema_reset" in runner
+        import os as _os
+        assert _os.access(str(tmp_path / "vq_grid_run.sh"), _os.X_OK)
+
+    def test_runner_executes_locally(self, tmp_path):
+        """The generated runner is the local fallback too ($1 = task id)."""
+        import subprocess as sp
+        from tokenhmr_tpu.utils import cluster as C
+
+        probe = tmp_path / "probe.py"
+        probe.write_text(
+            "import sys; print('ARGS', sys.argv[1:])")
+        C.execute_task_on_cluster(
+            str(probe), "probe", out_root=str(tmp_path), num_exp=2)
+        out = sp.run([str(tmp_path / "probe_run.sh"), "1"],
+                     capture_output=True, text=True, check=True).stdout
+        assert "'--cls-id', '1'" in out
+
+    def test_submit_without_sbatch_raises(self, tmp_path, monkeypatch):
+        from tokenhmr_tpu.utils import cluster as C
+        import shutil as _sh
+        monkeypatch.setattr(_sh, "which", lambda _: None)
+        with pytest.raises(RuntimeError):
+            C.execute_task_on_cluster(
+                "x.py", "e", out_root=str(tmp_path), submit=True)

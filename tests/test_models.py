@@ -521,3 +521,47 @@ class TestConditionalNorm:
         tref = t @ kw + kb
         out = np.asarray(mod.apply(params, jnp.asarray(x)))
         np.testing.assert_allclose(out, tref.numpy(), atol=1e-5)
+
+
+class TestTransformerEncoder:
+    """Self-attn encoder stack (ref pose_transformer.py:127-158, 241-298)."""
+
+    def test_forward_and_jit(self):
+        from tokenhmr_tpu.models.transformer import TransformerEncoder
+
+        cfg = DecoderConfig(dim=32, depth=2, heads=2, dim_head=8, mlp_dim=48,
+                            num_tokens=7, token_dim=5)
+        enc = TransformerEncoder(cfg)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 7, 5).astype(np.float32))
+        params = enc.init(jax.random.PRNGKey(0), x)
+        out = jax.jit(lambda p, v: enc.apply(p, v))(params, x)
+        assert out.shape == (2, 7, 32)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_frequency_token_embedding(self):
+        from tokenhmr_tpu.models.transformer import TransformerEncoder
+
+        cfg = DecoderConfig(dim=16, depth=1, heads=2, dim_head=4, mlp_dim=16,
+                            num_tokens=3, token_dim=2)
+        enc = TransformerEncoder(cfg, token_pe_numfreq=4)
+        x = jnp.zeros((1, 3, 2))
+        params = enc.init(jax.random.PRNGKey(0), x)
+        # embedding kernel consumes token_dim * (2*numfreq + 1) features
+        k = params["params"]["to_token_embedding"]["kernel"]
+        assert k.shape == (2 * (2 * 4 + 1), 16)
+        out = enc.apply(params, x)
+        assert out.shape == (1, 3, 16)
+
+    def test_ada_norm_variant(self):
+        from tokenhmr_tpu.models.transformer import TransformerEncoder
+
+        cfg = DecoderConfig(dim=16, depth=1, heads=2, dim_head=4, mlp_dim=16,
+                            num_tokens=3, token_dim=2, norm="ada",
+                            norm_cond_dim=6)
+        enc = TransformerEncoder(cfg)
+        x = jnp.ones((2, 3, 2))
+        cond = jnp.ones((2, 6))
+        params = enc.init(jax.random.PRNGKey(0), x, norm_cond=cond)
+        out = enc.apply(params, x, norm_cond=cond)
+        assert out.shape == (2, 3, 16)

@@ -215,6 +215,71 @@ class TransformerCrossAttn(nn.Module):
         return x
 
 
+class TransformerSelfAttn(nn.Module):
+    """Self-attention-only stack: depth x {prenorm self-attn, prenorm FFN}
+    (ref pose_transformer.py:127-158 `Transformer`).  Supports norm="ada"
+    via `norm_cond` like the cross-attn stack."""
+
+    cfg: DecoderConfig
+
+    def _norm(self, x, norm_cond, name):
+        c = self.cfg
+        if c.norm == "ada":
+            assert norm_cond is not None, 'norm="ada" needs norm_cond'
+            return AdaptiveLayerNorm(c.dim, c.norm_cond_dim, c.dtype,
+                                     name=name)(x, norm_cond)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                            name=name)(x).astype(c.dtype)
+
+    @nn.compact
+    def __call__(self, x, deterministic=True, norm_cond=None):
+        c = self.cfg
+        for i in range(c.depth):
+            h = self._norm(x, norm_cond, f"sa_norm{i}")
+            x = x + _SelfAttention(c, name=f"sa{i}")(h, deterministic)
+            h = self._norm(x, norm_cond, f"ff_norm{i}")
+            x = x + _FeedForward(c, name=f"ff{i}")(h, deterministic)
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    """Token embed + pos embed + self-attn stack (ref
+    pose_transformer.py:241-298).  `token_pe_numfreq > 0` frequency-embeds
+    each input token before the linear embedding, exactly like the
+    reference's Rearrange+FrequencyEmbedder pipeline."""
+
+    cfg: DecoderConfig
+    token_pe_numfreq: int = -1
+
+    @nn.compact
+    def __call__(self, inp, train: bool = False, norm_cond=None):
+        c = self.cfg
+        if self.token_pe_numfreq > 0:
+            B, N, D = inp.shape
+            emb = frequency_embed(
+                inp.reshape(B * N, D), self.token_pe_numfreq,
+                float(self.token_pe_numfreq - 1))
+            x = nn.Dense(c.dim, dtype=c.dtype, name="to_token_embedding")(
+                emb.reshape(B, N, -1))
+        else:
+            x = nn.Dense(c.dim, dtype=c.dtype, name="to_token_embedding")(inp)
+        B, N, _ = x.shape
+        if train and c.emb_dropout > 0.0:
+            rng = self.make_rng("dropout")
+            if c.emb_dropout_type == "zero":
+                mask = jax.random.bernoulli(rng, c.emb_dropout, (B, N, 1))
+                x = jnp.where(mask, 0.0, x)
+            else:
+                x = nn.Dropout(c.emb_dropout, deterministic=False)(x)
+        pos = self.param(
+            "pos_embedding", nn.initializers.normal(1.0), (1, c.num_tokens, c.dim),
+            jnp.float32,
+        )
+        x = x + pos[:, :N].astype(x.dtype)
+        return TransformerSelfAttn(c, name="transformer")(
+            x, not train, norm_cond=norm_cond)
+
+
 class TransformerDecoder(nn.Module):
     """Token embed + pos embed + cross-attn stack (ref pose_transformer.py:295-357).
 

@@ -120,3 +120,16 @@ class TestClusterSubmit:
         with pytest.raises(RuntimeError):
             C.execute_task_on_cluster(
                 "x.py", "e", out_root=str(tmp_path), submit=True)
+
+
+class TestFetchCli:
+    def test_list_and_fetch(self, tmp_path, capsys):
+        from cli.fetch import main
+
+        assert main(["--list"]) == 0
+        assert "tokenhmr_ckpt" in capsys.readouterr().out
+        src = tmp_path / "w.pkl"
+        src.write_bytes(b"x")
+        assert main(["--data-dir", str(tmp_path), f"smpl_neutral={src}"]) == 0
+        assert main(["malformed"]) == 2
+        assert main(["nope=https://x.example/y"]) == 1

@@ -137,9 +137,19 @@ def int8_matmul_pallas(
     if bias is not None:
         in_specs.append(spec_n)
         args.append(bias.reshape(1, N).astype(jnp.float32))
+    aliases = {}
     if residual is not None:
         in_specs.append(spec_o)
-        args.append(residual.reshape(M, N))
+        res2 = residual.reshape(M, N)
+        args.append(res2)
+        if res2.dtype == out_dtype:
+            # donate the residual buffer to the output: in the scanned ViT
+            # block the residual IS the carry, so this guarantees the
+            # in-place update instead of relying on XLA's buffer reuse
+            # (measured neutral at B=128 — XLA already avoided the copy —
+            # but the alias makes it a contract, not an optimization; XLA
+            # inserts a protective copy if the buffer is live elsewhere)
+            aliases = {len(args) - 1: 0}
     return pl.pallas_call(
         functools.partial(_epi_kernel, act=act, has_bias=bias is not None,
                           has_res=residual is not None),
@@ -147,6 +157,7 @@ def int8_matmul_pallas(
         in_specs=in_specs,
         out_specs=spec_o,
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(

@@ -41,6 +41,10 @@ def main(argv=None):
     p.add_argument("--print-iters", type=int, default=100)
     p.add_argument("--add-noise", action="store_true", default=True)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--eval-only", action="store_true",
+                   help="restore the latest checkpoint, run the eval pass "
+                        "and dump eval_results.json (ref train_poseVQ.py "
+                        "eval mode / eval_poseVQ.py results pkl)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--quantizer", default="ema_reset",
@@ -116,6 +120,28 @@ def main(argv=None):
 
     ckpt = CheckpointManager(args.out_dir)
     start_iter = 0
+    if args.eval_only:
+        step = ckpt.latest_step()
+        if step is not None:
+            state = ckpt.restore({"params": params, "opt_state": opt_state,
+                                  "vq_state": vq_state})
+            params, vq_state = state["params"], state["vq_state"]
+            print(f"eval-only: restored step {step}")
+        eval_step = jax.jit(make_tokenizer_eval_step(cfg, smplh))
+        agg = {}
+        for vb in val_batches:
+            em = eval_step(params, vq_state, jnp.asarray(vb),
+                           jax.random.PRNGKey(0))
+            for k, v in em.items():
+                agg.setdefault(k, []).append(float(v))
+        agg = {k: float(np.mean(v)) for k, v in agg.items()}
+        agg["score"] = agg["jnt_err"] + agg["mesh_err"]
+        agg["step"] = step or 0
+        print(f"eval: {agg}", flush=True)
+        import json
+        with open(os.path.join(args.out_dir, "eval_results.json"), "w") as f:
+            json.dump(agg, f, indent=2)
+        return
     if args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore({"params": params, "opt_state": opt_state,
                               "vq_state": vq_state})

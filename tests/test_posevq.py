@@ -212,3 +212,19 @@ class TestQuantizerCLIVariants:
         best = json.loads((out / "best.json").read_text())
         assert np.isfinite(best["score"]) and best["score"] > 0
         assert np.isfinite(best["perplexity"])
+
+    def test_eval_only_mode(self, tmp_path):
+        """--eval-only restores the latest ckpt and dumps eval_results.json
+        (ref train_poseVQ.py eval mode / eval_poseVQ.py results dump)."""
+        import json
+        from cli.train_tokenizer import main
+        out = tmp_path / "evalonly"
+        main(["--synthetic", "--tiny", "--platform", "cpu",
+              "--out-dir", str(out), "--total-iters", "6",
+              "--eval-iters", "6", "--print-iters", "50",
+              "--batch-size", "16"])
+        main(["--synthetic", "--tiny", "--platform", "cpu",
+              "--out-dir", str(out), "--eval-only", "--batch-size", "16"])
+        res = json.loads((out / "eval_results.json").read_text())
+        assert res["step"] == 6
+        assert np.isfinite(res["score"]) and res["score"] > 0

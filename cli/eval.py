@@ -75,6 +75,11 @@ def main(argv=None):
     p.add_argument("--merge", default=None, metavar="SCHED",
                    help="ToMe token merging, e.g. '8:32,16:32,24:32' "
                         "(speed knob; measure the metric delta here)")
+    p.add_argument("--n-devices", type=int, default=1,
+                   help="data-parallel inference over the first N devices "
+                        "(params replicated, batch sharded; SPMD NamedSharding "
+                        "— the Lightning-DDP eval equivalent, ref eval.py via "
+                        "pytorch DataLoader/cuda)")
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -121,6 +126,28 @@ def main(argv=None):
                       for part in args.merge.split(","))
         cfg = dc.replace(cfg, vit=dc.replace(cfg.vit, merge_schedule=sched))
 
+    batch_shd = None
+    if args.n_devices > 1:
+        # data-parallel SPMD eval: one jitted program over a data-only
+        # mesh; XLA splits every batch-leading tensor across devices and
+        # runs the same bytes on each, no collectives needed in forward
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devs = jax.devices()
+        assert len(devs) >= args.n_devices, (
+            f"--n-devices {args.n_devices} > visible {len(devs)}; on CPU "
+            f"set xla_force_host_platform_device_count (tests/conftest.py)")
+        assert args.batch_size % args.n_devices == 0, (
+            "--batch-size must divide evenly across --n-devices")
+        mesh = Mesh(np.array(devs[:args.n_devices]), ("data",))
+        batch_shd = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        params = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), params)
+        frozen = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl) if hasattr(x, "shape") else x,
+            frozen)
+
     @functools.partial(jax.jit, static_argnames=("use_hips",))
     def model_forward(params, img, use_hips=False):
         c = dc.replace(cfg, update_hips=use_hips) if use_hips else cfg
@@ -149,7 +176,19 @@ def main(argv=None):
         n_batches = 0
         for i, batch in enumerate(loader):
             batch = gt_verts(batch)
-            out = model_forward(params, jnp.asarray(batch["img"]), use_hips=ds_cfg.get("use_hips", False))
+            img = np.asarray(batch["img"])
+            use_hips = ds_cfg.get("use_hips", False)
+            if batch_shd is None:
+                out = model_forward(params, jnp.asarray(img), use_hips=use_hips)
+            else:
+                n = img.shape[0]
+                pad = (-n) % args.n_devices
+                if pad:  # ragged tail: repeat the last crop, slice after
+                    img = np.concatenate([img, np.repeat(img[-1:], pad, 0)])
+                out = model_forward(params, jax.device_put(img, batch_shd),
+                                    use_hips=use_hips)
+                if pad:
+                    out = jax.tree_util.tree_map(lambda v: v[:n], out)
             evaluator(out, batch)
             n_batches = i + 1
             if i % args.log_freq == args.log_freq - 1:

@@ -126,3 +126,26 @@ class TestEvalCli:
         assert len(rows) == 3
         for r in rows:
             assert np.isfinite(float(r["metric_value"]))
+
+    def test_tiny_end_to_end_multidevice(self, tmp_path):
+        """--n-devices 8 shards the eval batch over the CPU mesh (conftest
+        forces xla_force_host_platform_device_count=8); the single ragged
+        batch (6 samples, batch 8) exercises the pad-and-slice path."""
+        _make_synthetic_dataset(str(tmp_path))
+        from cli.eval import main
+
+        results = str(tmp_path / "results_dp.csv")
+        main([
+            "--dataset", "3DPW-TEST",
+            "--dataset-dir", str(tmp_path),
+            "--results-file", results,
+            "--batch-size", "8",
+            "--tiny",
+            "--n-devices", "8",
+            "--num-workers", "2",
+        ])
+        with open(results) as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 3
+        for r in rows:
+            assert np.isfinite(float(r["metric_value"]))

@@ -154,10 +154,15 @@ def _mha_packed_kernel(*refs, scale: float, num_heads: int, head_dim: int,
             s = s + bias_ref[0]   # (1, S) broadcast over (S, S) rows
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
-        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(qkv_ref.dtype)
+        sc_ref[h] = p / jnp.sum(p, axis=-1, keepdims=True)
+    # third phase: ALL PV matmuls back-to-back (separating the VPU softmax
+    # from the MXU matmuls measured +4% e2e on the q8 variant; same
+    # schedule here)
+    for h in range(num_heads):
         v = qkv_ref[0, :, 2 * HD + h * head_dim: 2 * HD + (h + 1) * head_dim]
         o_ref[0, :, h * head_dim:(h + 1) * head_dim] = jnp.dot(
-            p, v, preferred_element_type=jnp.float32
+            sc_ref[h].astype(qkv_ref.dtype), v,
+            preferred_element_type=jnp.float32
         ).astype(o_ref.dtype)
 
 
@@ -275,6 +280,51 @@ def _mha_packed_q8_kernel(*refs, scale: float, num_heads: int, head_dim: int,
         o_ref[b] = jnp.clip(jnp.rint(o / rs), -127, 127).astype(jnp.int8)
 
 
+def _mha_packed_q8_kernel3(*refs, scale: float, num_heads: int,
+                           head_dim: int, block_rows: int,
+                           has_bias: bool = False):
+    """Three-phase variant: ALL QK^T matmuls, then ALL softmaxes (VPU,
+    probabilities written back into the scores scratch), then ALL PV
+    matmuls back-to-back.  The two-phase kernel interleaves the VPU
+    softmax with each head's PV matmul, which stalls the MXU pipeline
+    once per head; separating the phases keeps the 16 PV matmuls as
+    back-to-back independent MXU ops like the QK phase already is."""
+    qkv_ref = refs[0]
+    bias_ref = refs[1] if has_bias else None
+    o_ref = refs[1 + has_bias]
+    s_ref = refs[2 + has_bias]
+    sc_ref = refs[3 + has_bias]
+    ob_ref = refs[4 + has_bias]
+    HD = num_heads * head_dim
+    for b in range(block_rows):
+        for h in range(num_heads):
+            q = qkv_ref[b, :, h * head_dim:(h + 1) * head_dim]
+            k = qkv_ref[b, :, HD + h * head_dim: HD + (h + 1) * head_dim]
+            sc_ref[h] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        for h in range(num_heads):
+            s = sc_ref[h] * scale
+            if bias_ref is not None:
+                s = s + bias_ref[b]
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            # normalize here (pure VPU phase) — the 2-phase kernel folds the
+            # denom into the smaller (S, D) output instead, but that fold
+            # is exactly the VPU<->MXU interleave this variant removes
+            sc_ref[h] = p / jnp.sum(p, axis=-1, keepdims=True)
+        for h in range(num_heads):
+            v = qkv_ref[b, :, 2 * HD + h * head_dim: 2 * HD + (h + 1) * head_dim]
+            ob_ref[:, h * head_dim:(h + 1) * head_dim] = jnp.dot(
+                sc_ref[h].astype(qkv_ref.dtype), v,
+                preferred_element_type=jnp.float32)
+        o = ob_ref[:]
+        rs = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True), 1e-8) / 127.0
+        s_ref[b] = rs
+        o_ref[b] = jnp.clip(jnp.rint(o / rs), -127, 127).astype(jnp.int8)
+
+
 def mha_packed_q8(qkv: jax.Array, scale: float, num_heads: int,
                   block_rows: Optional[int] = None,
                   bias: Optional[jax.Array] = None):
@@ -302,8 +352,17 @@ def mha_packed_q8(qkv: jax.Array, scale: float, num_heads: int,
         in_specs.append(pl.BlockSpec((R, 1, S), lambda b: (b, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(bias.astype(jnp.float32)[:, None, :])
+    # default since the measured win at the default merge schedule
+    # (1181 vs 1135 crops/s e2e); THMR_ATTN_PHASES=2 restores the
+    # interleaved variant
+    three_phase = os.environ.get("THMR_ATTN_PHASES", "3") == "3"
+    kernel = _mha_packed_q8_kernel3 if three_phase else _mha_packed_q8_kernel
+    scratch = [
+        pltpu.VMEM((num_heads, S, S), jnp.float32),
+        pltpu.VMEM((S, HD), jnp.float32),
+    ]
     return pl.pallas_call(
-        functools.partial(_mha_packed_q8_kernel, scale=scale,
+        functools.partial(kernel, scale=scale,
                           num_heads=num_heads, head_dim=D, block_rows=R,
                           has_bias=bias is not None),
         grid=(B // R,),
@@ -318,10 +377,7 @@ def mha_packed_q8(qkv: jax.Array, scale: float, num_heads: int,
             jax.ShapeDtypeStruct((B, S, HD), jnp.int8),
             jax.ShapeDtypeStruct((B, S, 1), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((num_heads, S, S), jnp.float32),
-            pltpu.VMEM((S, HD), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * num_heads * S * S * D,
             bytes_accessed=qkv.size * qkv.dtype.itemsize,

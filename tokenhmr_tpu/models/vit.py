@@ -121,7 +121,7 @@ class QDense(nn.Module):
 
     @nn.compact
     def __call__(self, x, residual=None, x_prequant=None, in_scale=None,
-                 quant_out_scale=None, calib_in_scale=None):
+                 quant_out_scale=None, calib_in_scale=None, raw=False):
         """x_prequant: (int8, row-scales-or-None) from a producer kernel that
         already quantized (skips the quant pass); residual: fused
         `out + residual`; in_scale/quant_out_scale: static per-channel
@@ -160,6 +160,10 @@ class QDense(nn.Module):
                     self.variable("quant", "w_s", lambda: None).value,
                 )
                 in_scale = None  # fold already baked into w_q/w_s
+            if raw:
+                # caller runs its own fused kernel (qkv+attention) — just
+                # create/fetch the params and hand back the raw pieces
+                return kernel, bias, w_prequant
             return int8_dense(x, kernel, bias, act=self.act, out_dtype=c.dtype,
                               residual=residual, x_prequant=x_prequant,
                               in_scale=in_scale,
@@ -209,11 +213,21 @@ class ViTAttention(nn.Module):
         c = self.cfg
         head_dim = c.embed_dim // c.num_heads
         scale = head_dim ** -0.5
-        qkv = QDense(3 * c.embed_dim, c, use_bias=c.qkv_bias, name="qkv")(
-            x, x_prequant=x_prequant)
         impl = c.attn_impl
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        import os as _os
+        if (impl == "pallas" and c.quant == "int8"
+                and x_prequant is not None and x_prequant[1] is not None
+                and _os.environ.get("THMR_FUSED_QKV", "0") == "1"):
+            # qkv matmul + attention + int8-out in ONE pallas kernel — the
+            # (B, S, 3HD) qkv tensor never round-trips HBM
+            # (ops/attention.py:qkv_mha_q8); needs the ln_quant producer
+            # (int8 x + per-row scales)
+            return self._fused_qkv_attention(x_prequant, residual,
+                                             attn_bias, scale)
+        qkv = QDense(3 * c.embed_dim, c, use_bias=c.qkv_bias, name="qkv")(
+            x, x_prequant=x_prequant)
         if impl == "pallas":
             if c.quant == "int8":
                 # int8-out epilogue: the per-token quant for proj happens in
@@ -228,6 +242,25 @@ class ViTAttention(nn.Module):
         else:
             o = mha_packed_xla(qkv, scale, c.num_heads, bias=attn_bias)
         return QDense(c.embed_dim, c, name="proj")(o, residual=residual)
+
+    def _fused_qkv_attention(self, x_prequant, residual, attn_bias, scale):
+        c = self.cfg
+        from ..ops.attention import qkv_mha_q8
+        kernel, bias, w_pq = QDense(
+            3 * c.embed_dim, c, use_bias=c.qkv_bias, name="qkv")(
+            None, x_prequant=x_prequant, raw=True)
+        if w_pq is not None:
+            wq, ws = w_pq
+        else:  # uncalibrated fallback: quantize per call (XLA folds it)
+            from ..ops.qmatmul import quantize_cols
+            wq, ws = quantize_cols(kernel.astype(jnp.float32))
+        if bias is None:
+            bias = jnp.zeros((3 * c.embed_dim,), jnp.float32)
+        oq, os_ = qkv_mha_q8(
+            x_prequant[0], x_prequant[1], wq, ws.reshape(-1), bias,
+            scale, c.num_heads, attn_bias=attn_bias)
+        return QDense(c.embed_dim, c, name="proj")(
+            None, residual=residual, x_prequant=(oq, os_))
 
 
 class ViTMlp(nn.Module):

@@ -219,7 +219,9 @@ class ViTAttention(nn.Module):
         import os as _os
         if (impl == "pallas" and c.quant == "int8"
                 and x_prequant is not None and x_prequant[1] is not None
-                and _os.environ.get("THMR_FUSED_QKV", "0") == "1"):
+                and _os.environ.get("THMR_FUSED_QKV", "1") == "1"):
+            # default ON: measured 1368 vs 1181 crops/s e2e at the default
+            # merge schedule (THMR_FUSED_QKV=0 restores separate kernels)
             # qkv matmul + attention + int8-out in ONE pallas kernel — the
             # (B, S, 3HD) qkv tensor never round-trips HBM
             # (ops/attention.py:qkv_mha_q8); needs the ln_quant producer

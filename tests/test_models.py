@@ -669,3 +669,47 @@ class TestFusedQkvAttention:
         dispatch wiring by direct call with interpret fallbacks instead."""
         from tokenhmr_tpu.ops import attention as A
         assert hasattr(A, "qkv_mha_q8")
+
+
+class TestLnFusedQkvAttention:
+    """ln_qkv_mha_q8: LN + quant + qkv + attention + q8-out in one kernel
+    vs the composed reference (flax LN -> quantize_rows -> dequant matmul
+    -> XLA attention)."""
+
+    @pytest.mark.parametrize("has_bias", [False, True])
+    def test_matches_composed_reference(self, has_bias):
+        import flax.linen as nn
+        from tokenhmr_tpu.ops import attention as A
+        from tokenhmr_tpu.ops.qmatmul import quantize_cols, quantize_rows
+
+        rng = np.random.RandomState(9)
+        B, S, K, H, D = 2, 16, 32, 2, 8
+        THD = 3 * H * D
+        x = rng.randn(B, S, K).astype(np.float32) * 2.0
+        gamma = (rng.rand(K) + 0.5).astype(np.float32)
+        beta = (rng.randn(K) * 0.1).astype(np.float32)
+        w = rng.randn(K, THD).astype(np.float32) * 0.1
+        bias = rng.randn(THD).astype(np.float32) * 0.05
+        wq, ws = quantize_cols(jnp.asarray(w))
+        attn_bias = None
+        if has_bias:
+            attn_bias = jnp.asarray(
+                np.log(rng.randint(1, 5, (B, S))).astype(np.float32))
+        oq, os_ = A.ln_qkv_mha_q8(
+            jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta),
+            wq, ws.reshape(-1), jnp.asarray(bias), D ** -0.5, H,
+            attn_bias=attn_bias, interpret=True)
+        # composed reference
+        y = nn.LayerNorm(epsilon=1e-6).apply(
+            {"params": {"scale": jnp.asarray(gamma), "bias": jnp.asarray(beta)}},
+            jnp.asarray(x))
+        xq, xs = quantize_rows(y.reshape(-1, K))
+        xd = np.asarray(xq, np.float32) * np.asarray(xs)
+        wd = np.asarray(wq, np.float32) * np.asarray(ws)
+        qkv = jnp.asarray(xd @ wd + bias).reshape(
+            B, S, THD).astype(jnp.bfloat16).astype(jnp.float32)
+        ref = A.mha_packed_xla(qkv, D ** -0.5, H, bias=attn_bias)
+        deq = np.asarray(oq, np.float32) * np.asarray(os_)
+        max_scale = float(np.max(np.asarray(os_)))
+        np.testing.assert_allclose(deq, np.asarray(ref),
+                                   atol=max_scale * 0.51 + 4e-3)

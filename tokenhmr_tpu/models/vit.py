@@ -187,11 +187,14 @@ class QLayerNorm(nn.Module):
     eps: float = 1e-6
 
     @nn.compact
-    def __call__(self, x, quantize: bool = False):
+    def __call__(self, x, quantize: bool = False, raw_params: bool = False):
         c = self.cfg
         C = x.shape[-1]
         gamma = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         beta = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        if raw_params:
+            # caller folds the LN into its own fused kernel
+            return gamma, beta
         if quantize:
             return ln_quant(x, gamma, beta, self.eps)
         xf = x.astype(c.ln_dtype)
@@ -209,7 +212,8 @@ class ViTAttention(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x, residual=None, x_prequant=None, attn_bias=None):
+    def __call__(self, x, residual=None, x_prequant=None, attn_bias=None,
+                 ln_raw=None):
         c = self.cfg
         head_dim = c.embed_dim // c.num_heads
         scale = head_dim ** -0.5
@@ -217,6 +221,14 @@ class ViTAttention(nn.Module):
         if impl == "auto":
             impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         import os as _os
+        if ln_raw is not None:
+            # ln_raw = (raw x, gamma, beta): the producer LayerNorm is
+            # folded into the fused kernel too (ops/attention.py:
+            # ln_qkv_mha_q8) — neither the LN output nor the qkv tensor
+            # ever exists in HBM
+            assert impl == "pallas" and c.quant == "int8"
+            return self._fused_qkv_attention(None, residual, attn_bias,
+                                             scale, ln_raw=ln_raw)
         if (impl == "pallas" and c.quant == "int8"
                 and x_prequant is not None and x_prequant[1] is not None
                 and _os.environ.get("THMR_FUSED_QKV", "1") == "1"):
@@ -245,12 +257,15 @@ class ViTAttention(nn.Module):
             o = mha_packed_xla(qkv, scale, c.num_heads, bias=attn_bias)
         return QDense(c.embed_dim, c, name="proj")(o, residual=residual)
 
-    def _fused_qkv_attention(self, x_prequant, residual, attn_bias, scale):
+    def _fused_qkv_attention(self, x_prequant, residual, attn_bias, scale,
+                             ln_raw=None):
         c = self.cfg
-        from ..ops.attention import qkv_mha_q8
+        from ..ops.attention import ln_qkv_mha_q8, qkv_mha_q8
+        shape_src = ln_raw[0] if ln_raw is not None else x_prequant
         kernel, bias, w_pq = QDense(
             3 * c.embed_dim, c, use_bias=c.qkv_bias, name="qkv")(
-            None, x_prequant=x_prequant, raw=True)
+            None, x_prequant=(shape_src if ln_raw is None
+                              else (ln_raw[0], None)), raw=True)
         if w_pq is not None:
             wq, ws = w_pq
         else:  # uncalibrated fallback: quantize per call (XLA folds it)
@@ -258,9 +273,15 @@ class ViTAttention(nn.Module):
             wq, ws = quantize_cols(kernel.astype(jnp.float32))
         if bias is None:
             bias = jnp.zeros((3 * c.embed_dim,), jnp.float32)
-        oq, os_ = qkv_mha_q8(
-            x_prequant[0], x_prequant[1], wq, ws.reshape(-1), bias,
-            scale, c.num_heads, attn_bias=attn_bias)
+        if ln_raw is not None:
+            xr, gamma, beta = ln_raw
+            oq, os_ = ln_qkv_mha_q8(
+                xr, gamma, beta, wq, ws.reshape(-1), bias,
+                scale, c.num_heads, attn_bias=attn_bias)
+        else:
+            oq, os_ = qkv_mha_q8(
+                x_prequant[0], x_prequant[1], wq, ws.reshape(-1), bias,
+                scale, c.num_heads, attn_bias=attn_bias)
         return QDense(c.embed_dim, c, name="proj")(
             None, residual=residual, x_prequant=(oq, os_))
 
@@ -340,17 +361,28 @@ class _ScanViTBlock(nn.Module):
         # emit int8 + row scales directly (fused ln_quant kernel)
         fuse = c.quant == "int8" and self.deterministic
         qln = fuse and jax.default_backend() == "tpu"
-        h = QLayerNorm(c, name="norm1")(x, quantize=qln)
-        if fuse:
-            if qln:
-                x = ViTAttention(c, name="attn")(None, residual=x, x_prequant=h,
-                                                 attn_bias=attn_bias)
-            else:
-                x = ViTAttention(c, name="attn")(h, residual=x,
-                                                 attn_bias=attn_bias)
+        import os as _os
+        fuse_ln = (qln and c.attn_impl in ("auto", "pallas")
+                   and _os.environ.get("THMR_FUSED_LN", "0") == "1")
+        if fuse_ln:
+            # norm1 + quant + qkv + attention + int8-out in ONE kernel
+            gamma, beta = QLayerNorm(c, name="norm1")(x, raw_params=True)
+            x = ViTAttention(c, name="attn")(None, residual=x,
+                                             ln_raw=(x, gamma, beta),
+                                             attn_bias=attn_bias)
         else:
-            h = ViTAttention(c, name="attn")(h, attn_bias=attn_bias)
-            x = x + _traced_drop_path(self, h, dp_rate)
+            h = QLayerNorm(c, name="norm1")(x, quantize=qln)
+            if fuse:
+                if qln:
+                    x = ViTAttention(c, name="attn")(None, residual=x,
+                                                     x_prequant=h,
+                                                     attn_bias=attn_bias)
+                else:
+                    x = ViTAttention(c, name="attn")(h, residual=x,
+                                                     attn_bias=attn_bias)
+            else:
+                h = ViTAttention(c, name="attn")(h, attn_bias=attn_bias)
+                x = x + _traced_drop_path(self, h, dp_rate)
         h = QLayerNorm(c, name="norm2")(x, quantize=qln)
         if fuse:
             if qln:

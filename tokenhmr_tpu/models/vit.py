@@ -362,8 +362,9 @@ class _ScanViTBlock(nn.Module):
         fuse = c.quant == "int8" and self.deterministic
         qln = fuse and jax.default_backend() == "tpu"
         import os as _os
+        # default ON: 1388 vs 1368 crops/s e2e (THMR_FUSED_LN=0 reverts)
         fuse_ln = (qln and c.attn_impl in ("auto", "pallas")
-                   and _os.environ.get("THMR_FUSED_LN", "0") == "1")
+                   and _os.environ.get("THMR_FUSED_LN", "1") == "1")
         if fuse_ln:
             # norm1 + quant + qkv + attention + int8-out in ONE kernel
             gamma, beta = QLayerNorm(c, name="norm1")(x, raw_params=True)

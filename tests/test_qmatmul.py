@@ -170,3 +170,43 @@ class TestQuantViT:
         for a, b in zip(jax.tree_util.tree_leaves(p0),
                         jax.tree_util.tree_leaves(p1)):
             assert a.shape == b.shape and a.dtype == b.dtype
+
+
+class TestLnFusedFc1:
+    """ln_int8_matmul_q8 (LN + int8 matmul + gelu + static int8-out) vs the
+    composed reference (flax LN -> quantize_rows -> dequant matmul)."""
+
+    def test_matches_composed_reference(self):
+        import flax.linen as nn
+        from tokenhmr_tpu.ops.qmatmul import (
+            ln_int8_matmul_q8, quantize_cols, quantize_rows,
+        )
+
+        rng = np.random.RandomState(10)
+        B, S, K, N = 2, 16, 128, 256
+        x = rng.randn(B, S, K).astype(np.float32) * 2.0
+        gamma = (rng.rand(K) + 0.5).astype(np.float32)
+        beta = (rng.randn(K) * 0.1).astype(np.float32)
+        w = rng.randn(K, N).astype(np.float32) * 0.1
+        bias = rng.randn(N).astype(np.float32) * 0.05
+        qs = (rng.rand(N).astype(np.float32) + 0.5) / 50.0
+        wq, ws = quantize_cols(jnp.asarray(w))
+        out = ln_int8_matmul_q8(
+            jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta), wq,
+            ws.reshape(-1), jnp.asarray(bias), jnp.asarray(qs),
+            act="gelu_tanh", interpret=True)
+        assert out.shape == (B, S, N) and out.dtype == jnp.int8
+
+        y = nn.LayerNorm(epsilon=1e-6).apply(
+            {"params": {"scale": jnp.asarray(gamma),
+                        "bias": jnp.asarray(beta)}}, jnp.asarray(x))
+        xq, xs = quantize_rows(y.reshape(-1, K))
+        h = (np.asarray(xq, np.float32) * np.asarray(xs)) @ (
+            np.asarray(wq, np.float32) * np.asarray(ws)) + bias
+        h = np.asarray(jax.nn.gelu(jnp.asarray(h), approximate=True))
+        ref = np.clip(np.rint(h / qs), -127, 127).astype(np.int8)
+        # integer outputs: allow off-by-one from rounding-order differences
+        diff = np.abs(out.astype(np.int32).reshape(-1, N)
+                      - ref.astype(np.int32))
+        assert float(np.mean(diff <= 1)) > 0.999
+        assert int(diff.max()) <= 2

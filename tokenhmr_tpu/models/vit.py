@@ -290,11 +290,24 @@ class ViTMlp(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x, residual=None, x_prequant=None):
+    def __call__(self, x, residual=None, x_prequant=None, ln_raw=None):
         c = self.cfg
         act = "gelu_tanh" if c.gelu_approx else "gelu"
         hidden = int(c.embed_dim * c.mlp_ratio)
-        if c.quant == "int8" and self.has_variable("quant", "fc1_out_scale"):
+        static = c.quant == "int8" and self.has_variable("quant", "fc1_out_scale")
+        if ln_raw is not None and not static:
+            # LN-fusion requested but no calibrated scales (dynamic int8
+            # run): compute the LN here and take the standard path
+            xr, gamma, beta = ln_raw
+            xf = xr.astype(c.ln_dtype)
+            mean = jnp.mean(xf, axis=-1, keepdims=True)
+            mean2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+            var = jnp.maximum(mean2 - mean * mean, 0.0)
+            y = (xf - mean) * jax.lax.rsqrt(var + 1e-6)
+            x = (y * gamma.astype(c.ln_dtype) + beta.astype(c.ln_dtype)
+                 ).astype(c.dtype)
+            ln_raw = None
+        if static:
             # static per-channel quantization of the fc1->fc2 intermediate
             # (calibrated, see ViTConfig.quant="calib"): fc1 emits int8
             # directly (XLA fuses /scale+round+cast into the matmul
@@ -302,8 +315,24 @@ class ViTMlp(nn.Module):
             # the scales fold into fc2's weight quant, SmoothQuant-style
             s = self.variable("quant", "fc1_out_scale",
                               lambda: jnp.ones((hidden,), jnp.float32)).value
-            hq = QDense(hidden, c, act=act, name="fc1")(
-                x, x_prequant=x_prequant, quant_out_scale=s)
+            if ln_raw is not None:
+                # norm2 folded into the fc1 kernel too (ops/qmatmul.py:
+                # ln_int8_matmul_q8) — LN output/int8 never in HBM
+                from ..ops.qmatmul import ln_int8_matmul_q8, quantize_cols
+                kernel, bias, w_pq = QDense(hidden, c, act=act, name="fc1")(
+                    None, x_prequant=(ln_raw[0], None), raw=True)
+                if w_pq is not None:
+                    wq, ws = w_pq
+                else:
+                    wq, ws = quantize_cols(kernel.astype(jnp.float32))
+                if bias is None:
+                    bias = jnp.zeros((hidden,), jnp.float32)
+                hq = ln_int8_matmul_q8(
+                    ln_raw[0], ln_raw[1], ln_raw[2], wq, ws.reshape(-1),
+                    bias, s, act=act)
+            else:
+                hq = QDense(hidden, c, act=act, name="fc1")(
+                    x, x_prequant=x_prequant, quant_out_scale=s)
             return QDense(c.embed_dim, c, name="fc2")(
                 None, residual=residual, x_prequant=(hq, None), in_scale=s)
         h = QDense(hidden, c, act=act, name="fc1")(x, x_prequant=x_prequant)
@@ -384,6 +413,12 @@ class _ScanViTBlock(nn.Module):
             else:
                 h = ViTAttention(c, name="attn")(h, attn_bias=attn_bias)
                 x = x + _traced_drop_path(self, h, dp_rate)
+        fuse_ln_mlp = (fuse_ln
+                       and _os.environ.get("THMR_FUSED_LN_MLP", "0") == "1")
+        if fuse_ln_mlp:
+            gamma2, beta2 = QLayerNorm(c, name="norm2")(x, raw_params=True)
+            return ViTMlp(c, name="mlp")(None, residual=x,
+                                         ln_raw=(x, gamma2, beta2)), None
         h = QLayerNorm(c, name="norm2")(x, quantize=qln)
         if fuse:
             if qln:

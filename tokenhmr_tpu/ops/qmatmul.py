@@ -191,6 +191,84 @@ def int8_matmul_xla(
     return h.astype(out_dtype)
 
 
+def _ln_mm_q8_kernel(x_ref, g_ref, b_ref, wq_ref, ws_ref, bias_ref, qs_ref,
+                     o_ref, *, act, eps):
+    """LN prologue + int8 matmul + act + static-scale int8-out epilogue."""
+    xf = x_ref[:].astype(jnp.float32)                 # (TM, K)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    mean2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps) * g_ref[:] + b_ref[:]
+    rs = jnp.maximum(jnp.max(jnp.abs(y), axis=-1, keepdims=True), 1e-8) / 127.0
+    xq = jnp.clip(jnp.rint(y / rs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    h = acc.astype(jnp.float32) * rs * ws_ref[:] + bias_ref[:]
+    h = _apply_act(h, act)
+    o_ref[:] = jnp.clip(jnp.rint(h / qs_ref[:]), -127, 127).astype(jnp.int8)
+
+
+def ln_int8_matmul_q8(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    wq: jax.Array,
+    ws: jax.Array,
+    bias: jax.Array,
+    quant_out_scale: jax.Array,
+    act: Optional[str] = "gelu_tanh",
+    eps: float = 1e-6,
+    tm: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused `LayerNorm -> int8 quant -> x @ W -> act -> static int8-out`
+    for the norm2->fc1 edge: neither the LN output nor its int8 quant ever
+    round-trips HBM.  x (..., K) raw activations; wq (K, N) int8 +
+    ws (N,) scales + bias (N,); quant_out_scale (N,) static per-channel
+    output scales (fc1_out_scale from calibration).  Returns int8 (..., N).
+    The weight stays resident in VMEM across the M-tiled grid (fc1's
+    (1280, 5120) int8 = 6.6 MB)."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    N = wq.shape[1]
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+    TM = _pick_tile(M, tm, 8)
+    if TM is None or K % 128 != 0 or N % 128 != 0:
+        raise ValueError(f"untileable ln+matmul shape M={M} K={K} N={N}")
+    out = pl.pallas_call(
+        functools.partial(_ln_mm_q8_kernel, act=act, eps=eps),
+        grid=(M // TM,),
+        in_specs=[
+            pl.BlockSpec((TM, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, N), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * N,
+            bytes_accessed=M * K * 2 + K * N + M * N,
+            transcendentals=M * N,
+        ),
+        interpret=interpret,
+    )(x2, gamma.reshape(1, K).astype(jnp.float32),
+      beta.reshape(1, K).astype(jnp.float32), wq,
+      ws.reshape(1, N).astype(jnp.float32),
+      bias.reshape(1, N).astype(jnp.float32),
+      quant_out_scale.reshape(1, N).astype(jnp.float32))
+    return out.reshape(*lead, N)
+
+
 def _ln_quant_kernel(x_ref, g_ref, b_ref, q_ref, s_ref, *, eps):
     xf = x_ref[:].astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)

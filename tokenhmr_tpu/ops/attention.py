@@ -453,7 +453,12 @@ def qkv_mha_q8(xq: jax.Array, xs: jax.Array, wq: jax.Array, ws: jax.Array,
     THD = wq.shape[1]
     HD = THD // 3
     D = HD // num_heads
-    R = block_rows
+    import os as _os
+    if block_rows is None:
+        # R=2 everywhere: R=4 at merged sizes measured 1371 vs 1388 e2e
+        # (same verdict as the pre-fusion kernels) and VMEM-OOMs at S=192
+        block_rows = 2
+    R = int(_os.environ.get("THMR_ATTN_ROWS", block_rows))
     while R > 1 and B % R != 0:
         R //= 2
     wsb = jnp.stack([ws.reshape(THD), bias.reshape(THD)]).astype(jnp.float32)
@@ -558,7 +563,7 @@ def ln_qkv_mha_q8(x: jax.Array, gamma: jax.Array, beta: jax.Array,
                   wq: jax.Array, ws: jax.Array, bias: jax.Array,
                   scale: float, num_heads: int,
                   attn_bias: Optional[jax.Array] = None,
-                  block_rows: int = 2, eps: float = 1e-6,
+                  block_rows: Optional[int] = None, eps: float = 1e-6,
                   interpret: bool = False):
     """Fused `LayerNorm -> int8 quant -> x @ Wqkv -> attention -> int8-out`.
 
@@ -569,7 +574,12 @@ def ln_qkv_mha_q8(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     THD = wq.shape[1]
     HD = THD // 3
     D = HD // num_heads
-    R = block_rows
+    import os as _os
+    if block_rows is None:
+        # R=2 everywhere: R=4 at merged sizes measured 1371 vs 1388 e2e
+        # (same verdict as the pre-fusion kernels) and VMEM-OOMs at S=192
+        block_rows = 2
+    R = int(_os.environ.get("THMR_ATTN_ROWS", block_rows))
     while R > 1 and B % R != 0:
         R //= 2
     wsb = jnp.stack([ws.reshape(THD), bias.reshape(THD)]).astype(jnp.float32)

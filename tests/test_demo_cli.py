@@ -31,3 +31,13 @@ class TestDemoOutputs:
         import cv2
         panel = cv2.imread(str(out / "scene_0.png"))
         assert panel is not None and panel.shape[1] == 3 * panel.shape[0]
+
+    def test_quant_int8_with_calibration(self, img_dir, tmp_path):
+        """--quant int8 runs the one-shot calibration (static scales +
+        pre-quantized weights in params['backbone_quant']) end-to-end."""
+        from cli.demo import main
+        out = tmp_path / "out_q"
+        main(["--img-folder", str(img_dir), "--out-folder", str(out),
+              "--tiny", "--platform", "cpu", "--detector", "full_frame",
+              "--quant", "int8"])
+        assert "scene_all.png" in os.listdir(out)

@@ -149,3 +149,24 @@ class TestEvalCli:
         assert len(rows) == 3
         for r in rows:
             assert np.isfinite(float(r["metric_value"]))
+
+    def test_tiny_quant_int8_calibrated(self, tmp_path):
+        """--quant int8 calibrates on the first batch and completes."""
+        _make_synthetic_dataset(str(tmp_path))
+        from cli.eval import main
+
+        results = str(tmp_path / "results_q8.csv")
+        main([
+            "--dataset", "3DPW-TEST",
+            "--dataset-dir", str(tmp_path),
+            "--results-file", results,
+            "--batch-size", "3",
+            "--tiny",
+            "--quant", "int8",
+            "--num-workers", "2",
+        ])
+        with open(results) as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 3
+        for r in rows:
+            assert np.isfinite(float(r["metric_value"]))

@@ -713,3 +713,50 @@ class TestLnFusedQkvAttention:
         max_scale = float(np.max(np.asarray(os_)))
         np.testing.assert_allclose(deq, np.asarray(ref),
                                    atol=max_scale * 0.51 + 4e-3)
+
+
+class TestAttnBlockQ8:
+    """attn_block_q8 (LN+qkv+attention+proj+residual in one kernel) vs the
+    composed reference path."""
+
+    @pytest.mark.parametrize("has_bias", [False, True])
+    def test_matches_composed_reference(self, has_bias):
+        import flax.linen as nn
+        from tokenhmr_tpu.ops import attention as A
+        from tokenhmr_tpu.ops.qmatmul import quantize_cols, quantize_rows
+
+        rng = np.random.RandomState(11)
+        B, S, K, H, D = 2, 16, 32, 2, 8
+        HD = H * D
+        THD = 3 * HD
+        x = rng.randn(B, S, K).astype(np.float32)
+        res = rng.randn(B, S, K).astype(np.float32)
+        gamma = (rng.rand(K) + 0.5).astype(np.float32)
+        beta = (rng.randn(K) * 0.1).astype(np.float32)
+        w = rng.randn(K, THD).astype(np.float32) * 0.1
+        bias = rng.randn(THD).astype(np.float32) * 0.05
+        wp = rng.randn(HD, K).astype(np.float32) * 0.1
+        bp = rng.randn(K).astype(np.float32) * 0.05
+        wq, ws = quantize_cols(jnp.asarray(w))
+        wqp, wsp = quantize_cols(jnp.asarray(wp))
+        attn_bias = None
+        if has_bias:
+            attn_bias = jnp.asarray(
+                np.log(rng.randint(1, 5, (B, S))).astype(np.float32))
+        out = A.attn_block_q8(
+            jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta),
+            wq, ws.reshape(-1), jnp.asarray(bias),
+            wqp, wsp.reshape(-1), jnp.asarray(bp),
+            jnp.asarray(res), D ** -0.5, H, attn_bias=attn_bias,
+            interpret=True)
+        assert out.shape == (B, S, K)
+        # composed: the already-tested ln_qkv kernel + dequant proj matmul
+        oq, os_ = A.ln_qkv_mha_q8(
+            jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta),
+            wq, ws.reshape(-1), jnp.asarray(bias), D ** -0.5, H,
+            attn_bias=attn_bias, interpret=True)
+        od = np.asarray(oq, np.float32) * np.asarray(os_)
+        wpd = np.asarray(wqp, np.float32) * np.asarray(wsp)
+        ref = od.reshape(-1, HD) @ wpd + bp + res.reshape(-1, K)
+        np.testing.assert_allclose(np.asarray(out, np.float32).reshape(-1, K),
+                                   ref, atol=5e-2, rtol=1e-2)

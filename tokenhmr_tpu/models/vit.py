@@ -275,6 +275,28 @@ class ViTAttention(nn.Module):
             bias = jnp.zeros((3 * c.embed_dim,), jnp.float32)
         if ln_raw is not None:
             xr, gamma, beta = ln_raw
+            import os as _os
+            S = xr.shape[1]
+            if (S <= 160 and residual is not None
+                    and _os.environ.get("THMR_FUSED_PROJ", "0") == "1"):
+                # whole attention half-block in one kernel (+proj+residual);
+                # the (H, S, S) scores scratch + both resident weights only
+                # fit VMEM at merged sequence lengths
+                from ..ops.attention import attn_block_q8
+                from ..ops.qmatmul import quantize_cols
+                pk, pb, p_pq = QDense(c.embed_dim, c, name="proj")(
+                    None, x_prequant=(jnp.zeros((1, c.embed_dim)), None),
+                    raw=True)
+                if p_pq is not None:
+                    wqp, wsp = p_pq
+                else:
+                    wqp, wsp = quantize_cols(pk.astype(jnp.float32))
+                if pb is None:
+                    pb = jnp.zeros((c.embed_dim,), jnp.float32)
+                return attn_block_q8(
+                    xr, gamma, beta, wq, ws.reshape(-1), bias,
+                    wqp, wsp.reshape(-1), pb, residual,
+                    scale, c.num_heads, attn_bias=attn_bias)
             oq, os_ = ln_qkv_mha_q8(
                 xr, gamma, beta, wq, ws.reshape(-1), bias,
                 scale, c.num_heads, attn_bias=attn_bias)

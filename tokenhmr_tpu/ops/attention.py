@@ -626,6 +626,133 @@ def ln_qkv_mha_q8(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     )(*args)
 
 
+def _attn_block_q8_kernel(*refs, scale: float, num_heads: int, head_dim: int,
+                          block_rows: int, has_bias: bool, eps: float):
+    """The full attention half-block in ONE kernel: LN -> int8 quant ->
+    qkv matmul -> three-phase attention -> int8 quant -> proj matmul ->
+    +residual -> bf16 out.  Nothing between the LN input and the residual
+    output ever touches HBM."""
+    (x_ref, g_ref, b_ref, wq_ref, wsb_ref, wp_ref, wpb_ref, r_ref) = refs[:8]
+    bias_ref = refs[8] if has_bias else None
+    o_ref = refs[8 + has_bias]
+    qkv_ref = refs[9 + has_bias]   # (S, 3HD) bf16 scratch
+    sc_ref = refs[10 + has_bias]   # (H, S, S) f32 scratch
+    ob_ref = refs[11 + has_bias]   # (S, HD) f32 scratch
+    HD = num_heads * head_dim
+    for b in range(block_rows):
+        xf = x_ref[b].astype(jnp.float32)             # (S, K)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        mean2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
+        y = (xf - mean) * jax.lax.rsqrt(var + eps) * g_ref[:] + b_ref[:]
+        rs = jnp.maximum(jnp.max(jnp.abs(y), axis=-1, keepdims=True),
+                         1e-8) / 127.0
+        xq = jnp.clip(jnp.rint(y / rs), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, wq_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        qkv_ref[:] = (acc.astype(jnp.float32) * rs * wsb_ref[0:1]
+                      + wsb_ref[1:2]).astype(qkv_ref.dtype)
+        for hh in range(num_heads):
+            q = qkv_ref[:, hh * head_dim:(hh + 1) * head_dim]
+            k = qkv_ref[:, HD + hh * head_dim: HD + (hh + 1) * head_dim]
+            sc_ref[hh] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        for hh in range(num_heads):
+            s = sc_ref[hh] * scale
+            if bias_ref is not None:
+                s = s + bias_ref[b]
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            sc_ref[hh] = p / jnp.sum(p, axis=-1, keepdims=True)
+        for hh in range(num_heads):
+            v = qkv_ref[:, 2 * HD + hh * head_dim: 2 * HD + (hh + 1) * head_dim]
+            ob_ref[:, hh * head_dim:(hh + 1) * head_dim] = jnp.dot(
+                sc_ref[hh].astype(qkv_ref.dtype), v,
+                preferred_element_type=jnp.float32)
+        o = ob_ref[:]
+        ors = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True),
+                          1e-8) / 127.0
+        oq = jnp.clip(jnp.rint(o / ors), -127, 127).astype(jnp.int8)
+        acc2 = jax.lax.dot_general(
+            oq, wp_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out = (acc2.astype(jnp.float32) * ors * wpb_ref[0:1] + wpb_ref[1:2]
+               + r_ref[b].astype(jnp.float32))
+        o_ref[b] = out.astype(o_ref.dtype)
+
+
+def attn_block_q8(x: jax.Array, gamma: jax.Array, beta: jax.Array,
+                  wq: jax.Array, ws: jax.Array, bias: jax.Array,
+                  wq_proj: jax.Array, ws_proj: jax.Array,
+                  bias_proj: jax.Array, residual: jax.Array,
+                  scale: float, num_heads: int,
+                  attn_bias: Optional[jax.Array] = None,
+                  block_rows: Optional[int] = None, eps: float = 1e-6,
+                  interpret: bool = False) -> jax.Array:
+    """`residual + proj(attn(qkv(quant(LN(x)))))` as one pallas kernel.
+
+    Fits VMEM only for S <= ~160 (the (H, S, S) scores scratch plus both
+    resident weights); callers gate on S.  Returns bf16 (B, S, K)."""
+    B, S, K = x.shape
+    THD = wq.shape[1]
+    HD = THD // 3
+    D = HD // num_heads
+    import os as _os
+    if block_rows is None:
+        block_rows = 2
+    R = int(_os.environ.get("THMR_ATTN_ROWS", block_rows))
+    while R > 1 and B % R != 0:
+        R //= 2
+    wsb = jnp.stack([ws.reshape(THD), bias.reshape(THD)]).astype(jnp.float32)
+    wpb = jnp.stack([ws_proj.reshape(K), bias_proj.reshape(K)]
+                    ).astype(jnp.float32)
+    in_specs = [
+        pl.BlockSpec((R, S, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, THD), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, THD), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((HD, K), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, K), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R, S, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x, gamma.reshape(1, K).astype(jnp.float32),
+            beta.reshape(1, K).astype(jnp.float32), wq, wsb,
+            wq_proj, wpb, residual]
+    if attn_bias is not None:
+        in_specs.append(pl.BlockSpec((R, 1, S), lambda b: (b, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(attn_bias.astype(jnp.float32)[:, None, :])
+    return pl.pallas_call(
+        functools.partial(_attn_block_q8_kernel, scale=scale,
+                          num_heads=num_heads, head_dim=D, block_rows=R,
+                          has_bias=attn_bias is not None, eps=eps),
+        grid=(B // R,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((R, S, K), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, K), residual.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((S, THD), jnp.bfloat16),
+            pltpu.VMEM((num_heads, S, S), jnp.float32),
+            pltpu.VMEM((S, HD), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * S * K * THD + 4 * B * num_heads * S * S * D
+            + 2 * B * S * HD * K,
+            bytes_accessed=x.size * x.dtype.itemsize * 3
+            + wq.size + wq_proj.size,
+            transcendentals=B * num_heads * S * S,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
 def _split_packed(qkv: jax.Array, num_heads: int):
     """(B, S, 3HD) -> three (B, H, S, D)."""
     B, S, THD = qkv.shape

@@ -102,26 +102,30 @@ def main(argv=None):
     patch_h, patch_w = cfg.vit.img_size
     crop_size = max(cfg.vit.img_size)
 
-    if args.quant == "int8":
-        # one calibration pass records static per-channel scales + int8
-        # weights, enabling the fused TPU inference kernels (bench.py path)
-        import dataclasses
-
-        from tokenhmr_tpu.models.vit import ViT
-        ccfg = dataclasses.replace(cfg.vit, quant="calib")
-        rng_c = np.random.RandomState(0)
-        calib_in = jnp.asarray(
-            rng_c.randn(2, patch_h, patch_w, 3).astype(np.float32))
-        quant_col = jax.jit(lambda p, im: ViT(ccfg).apply(
-            {"params": p["backbone"]}, im, mutable=["quant"])[1]["quant"]
-        )(params, calib_in)
-        params = dict(params)
-        params["backbone_quant"] = quant_col
-
     @jax.jit
     def model_forward(params, img):
         return forward_step(params, frozen, cfg, smpl_model, img,
                             mean_params=mean_params)
+
+    def ensure_calibrated(crops_f32):
+        """One-shot int8 calibration on the FIRST real crops (static
+        per-channel scales + pre-quantized weights -> fused TPU kernels).
+        Random-noise calibration would underestimate real activation
+        ranges and clip the static path."""
+        nonlocal params
+        if args.quant != "int8" or "backbone_quant" in params:
+            return
+        import dataclasses
+
+        from tokenhmr_tpu.models.vit import ViT
+        ccfg = dataclasses.replace(cfg.vit, quant="calib")
+        quant_col = jax.jit(lambda p, im: ViT(ccfg).apply(
+            {"params": p["backbone"]}, im, mutable=["quant"])[1]["quant"]
+        )(params, jnp.asarray(crops_f32))
+        params = dict(params)
+        params["backbone_quant"] = quant_col
+        if pipeline is not None:
+            pipeline.params = params
 
     pipeline = None
     if args.device_preproc:
@@ -150,6 +154,19 @@ def main(argv=None):
         if pipeline is not None:
             from tokenhmr_tpu.ops.projection import weak_perspective_to_translation
 
+            if args.quant == "int8" and "backbone_quant" not in params:
+                # host-warp this frame's crops once, just for calibration
+                cc, ss = bbox_xyxy_to_center_scale(boxes[:, :4])
+                cal = []
+                for c, s in zip(cc, ss):
+                    wh = expand_to_aspect_ratio(s * 200.0, (192, 256))
+                    size = float(wh.max())
+                    patch, _ = generate_image_patch(
+                        img, c[0], c[1], size, size, crop_size, crop_size,
+                        do_flip=False, scale=1.0, rot=0.0)
+                    cal.append((patch.astype(np.float32) - DEFAULT_MEAN)
+                               / DEFAULT_STD)
+                ensure_calibrated(np.stack(cal))
             out = pipeline(img, boxes[:, :4])
             verts = out["pred_vertices"]
             cam_t = out["pred_cam_t_full"]
@@ -199,6 +216,7 @@ def main(argv=None):
         # value must drive BOTH cam_crop_to_full and the renderer
         # (ref demo.py:84-85)
         scaled_focal = cfg.focal_length / crop_size * max(H, W)
+        ensure_calibrated(crops_np[:args.batch_size])
         all_verts, all_cam_t, all_cam_t_crop = [], [], []
         for s0 in range(0, len(crops_np), args.batch_size):
             out = model_forward(params, jnp.asarray(crops_np[s0:s0 + args.batch_size]))

@@ -89,18 +89,20 @@ def main(argv=None):
         sched = tuple(tuple(int(v) for v in part.split(":"))
                       for part in args.merge.split(","))
         cfg = dc.replace(cfg, vit=dc.replace(cfg.vit, merge_schedule=sched))
-    if args.quant == "int8":
-        # one-shot calibration -> static scales + pre-quantized weights
+    def ensure_calibrated(crops_f32):
+        # one-shot calibration on the FIRST real crops -> static scales +
+        # pre-quantized weights (random-noise calibration underestimates
+        # real activation ranges and clips the static int8 path)
+        nonlocal params
+        if args.quant != "int8" or "backbone_quant" in params:
+            return
         from tokenhmr_tpu.models.vit import ViT
         ccfg = dc.replace(cfg.vit, quant="calib")
-        rng_c = np.random.RandomState(0)
-        ph, pw = cfg.vit.img_size
-        calib_in = jnp.asarray(rng_c.randn(2, ph, pw, 3).astype(np.float32))
         params = dict(params)
         params["backbone_quant"] = jax.jit(
             lambda p, im: ViT(ccfg).apply({"params": p["backbone"]}, im,
                                           mutable=["quant"])[1]["quant"]
-        )(params, calib_in)
+        )(params, jnp.asarray(crops_f32))
 
     @jax.jit
     def model_forward(params, img):
@@ -159,6 +161,7 @@ def main(argv=None):
                     False, 1.0, 0.0)
                 crops.append((patch.astype(np.float32) - DEFAULT_MEAN) / DEFAULT_STD)
                 sizes.append(size)
+            ensure_calibrated(np.stack(crops))
             verts, cams, betas, body_pose, global_orient = model_forward(
                 params, jnp.asarray(np.stack(crops)))
             scaled_focal = cfg.focal_length / crop_size * max(H, W)

@@ -612,14 +612,27 @@ class TestThreePhaseQ8Attention:
     def test_matches_xla_with_bias(self):
         self._run(True)
 
-    def test_env_dispatch(self, monkeypatch):
-        """THMR_ATTN_PHASES=3 routes mha_packed_q8 through the 3-phase
-        kernel (interpret-only smoke on CPU is not possible — just check
-        the flag selects the kernel by inspecting the partial)."""
+    @pytest.mark.parametrize("phases,expect3", [("3", True), ("2", False)])
+    def test_env_dispatch_selects_kernel(self, monkeypatch, phases, expect3):
+        """THMR_ATTN_PHASES actually routes mha_packed_q8 to the right
+        kernel: intercept pallas_call and inspect the partial it gets."""
         from tokenhmr_tpu.ops import attention as A
-        monkeypatch.setenv("THMR_ATTN_PHASES", "3")
-        import os as _os
-        assert _os.environ["THMR_ATTN_PHASES"] == "3"
+        import functools as _ft
+
+        captured = {}
+
+        def fake_pallas_call(kernel, **kw):
+            captured["fn"] = kernel.func if isinstance(
+                kernel, _ft.partial) else kernel
+            return lambda *a: (jnp.zeros((2, 16, 16), jnp.int8),
+                               jnp.zeros((2, 16, 1), jnp.float32))
+
+        monkeypatch.setenv("THMR_ATTN_PHASES", phases)
+        monkeypatch.setattr(A.pl, "pallas_call", fake_pallas_call)
+        A.mha_packed_q8(jnp.zeros((2, 16, 48)), 0.35, 2)
+        want = (A._mha_packed_q8_kernel3 if expect3
+                else A._mha_packed_q8_kernel)
+        assert captured["fn"] is want
 
 
 class TestFusedQkvAttention:
@@ -663,12 +676,47 @@ class TestFusedQkvAttention:
         np.testing.assert_allclose(deq, np.asarray(ref),
                                    atol=max_scale * 0.51 + 4e-3)
 
-    def test_vit_block_fused_matches_unfused(self, monkeypatch):
-        """THMR_FUSED_QKV routes the int8 ViT through qkv_mha_q8; on CPU the
-        ln_quant producer path isn't taken (qln needs TPU), so check the
-        dispatch wiring by direct call with interpret fallbacks instead."""
-        from tokenhmr_tpu.ops import attention as A
-        assert hasattr(A, "qkv_mha_q8")
+    def test_vit_attention_dispatch_gates(self, monkeypatch):
+        """ViTAttention only takes the fused path when the producer supplied
+        a static int8 x_prequant (ln_quant) AND the flag is on — a broken
+        gate would crash or silently de-fuse (VERDICT-style wiring test)."""
+        from tokenhmr_tpu.models import vit as V
+
+        calls = []
+
+        def fake_fused(self, x_prequant, residual, attn_bias, scale,
+                       ln_raw=None):
+            calls.append("fused")
+            lead = (ln_raw[0] if ln_raw is not None else x_prequant[0]).shape[:-1]
+            return jnp.zeros(lead + (self.cfg.embed_dim,), jnp.float32)
+
+        def fake_q8(qkv, scale, num_heads, block_rows=None, bias=None):
+            calls.append("split")
+            B, S, THD = qkv.shape
+            return (jnp.zeros((B, S, THD // 3), jnp.int8),
+                    jnp.ones((B, S, 1), jnp.float32))
+
+        monkeypatch.setattr(V.ViTAttention, "_fused_qkv_attention", fake_fused)
+        monkeypatch.setattr(V, "mha_packed_q8", fake_q8)
+        cfg = V.ViTConfig(img_size=(64, 48), embed_dim=64, depth=1,
+                          num_heads=4, dtype=jnp.float32, quant="int8",
+                          attn_impl="pallas")
+        att = V.ViTAttention(cfg)
+        xq = jnp.zeros((2, 12, 64), jnp.int8)
+        xs = jnp.ones((2, 12, 1), jnp.float32)
+        # create real params via the split path (fused path skips QDense)
+        monkeypatch.setenv("THMR_FUSED_QKV", "0")
+        params = att.init(jax.random.PRNGKey(0), None, residual=None,
+                          x_prequant=(xq, xs))
+        calls.clear()
+        monkeypatch.setenv("THMR_FUSED_QKV", "1")
+        att.apply(params, None, residual=None, x_prequant=(xq, xs))
+        assert calls == ["fused"]
+        calls.clear()
+        # flag off -> split kernels
+        monkeypatch.setenv("THMR_FUSED_QKV", "0")
+        out = att.apply(params, None, residual=None, x_prequant=(xq, xs))
+        assert calls == ["split"] and out.shape == (2, 12, 64)
 
 
 class TestLnFusedQkvAttention:

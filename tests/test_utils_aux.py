@@ -81,23 +81,38 @@ class TestClusterSubmit:
     def test_generates_runner_and_sbatch(self, tmp_path):
         from tokenhmr_tpu.utils import cluster as C
 
+        # cli/train.py defines --cls-id (the grid flag); hyphenated node
+        # names must survive the exclude list
         sub = C.execute_task_on_cluster(
-            "cli/train_tokenizer.py", "vq_grid",
-            script_args=["--quantizer", "ema_reset"],
+            "cli/train.py", "hmr_grid",
+            script_args=["--synthetic-data"],
             out_root=str(tmp_path), num_exp=4, num_workers=6,
             memory_mb=32000, tpu_gres="tpu:v5e:8",
-            exclude_nodes="node1-node2")
+            exclude_nodes="gpu-node01,gpu-node02")
         text = open(sub).read()
         assert "#SBATCH --array=0-3" in text
         assert "#SBATCH --signal=TERM@120" in text
         assert "#SBATCH --requeue" in text
         assert "#SBATCH --gres=tpu:v5e:8" in text
-        assert "#SBATCH --exclude=node1,node2" in text
-        runner = open(str(tmp_path / "vq_grid_run.sh")).read()
+        assert "#SBATCH --exclude=gpu-node01,gpu-node02" in text
+        runner = open(str(tmp_path / "hmr_grid_run.sh")).read()
         assert "--cls-id $TASK_ID" in runner
-        assert "--quantizer ema_reset" in runner
+        assert "--synthetic-data" in runner
         import os as _os
-        assert _os.access(str(tmp_path / "vq_grid_run.sh"), _os.X_OK)
+        assert _os.access(str(tmp_path / "hmr_grid_run.sh"), _os.X_OK)
+
+    def test_no_task_flag_for_scripts_without_grid(self, tmp_path):
+        """cli/train_tokenizer.py has no --cls-id: task_flag=None keeps the
+        runner valid and still exports TASK_ID for the script."""
+        from tokenhmr_tpu.utils import cluster as C
+
+        C.execute_task_on_cluster(
+            "cli/train_tokenizer.py", "vq", task_flag=None,
+            script_args=["--quantizer", "ema_reset"], out_root=str(tmp_path))
+        runner = open(str(tmp_path / "vq_run.sh")).read()
+        assert "--cls-id" not in runner
+        assert "export TASK_ID" in runner
+        assert "--quantizer ema_reset" in runner
 
     def test_runner_executes_locally(self, tmp_path):
         """The generated runner is the local fallback too ($1 = task id)."""

@@ -441,7 +441,7 @@ def _qkv_mha_q8_kernel(*refs, scale: float, num_heads: int, head_dim: int,
 def qkv_mha_q8(xq: jax.Array, xs: jax.Array, wq: jax.Array, ws: jax.Array,
                bias: jax.Array, scale: float, num_heads: int,
                attn_bias: Optional[jax.Array] = None,
-               block_rows: int = 2, interpret: bool = False):
+               block_rows: Optional[int] = None, interpret: bool = False):
     """Fused `ln_quant-x @ Wqkv -> attention -> int8-out`.
 
     xq (B, S, K) int8 + xs (B, S, 1) f32 row scales (ln_quant output);

@@ -30,17 +30,20 @@ from typing import Optional, Sequence
 
 
 def run_script(script: str, script_args: Sequence[str] = (),
-               python: Optional[str] = None) -> str:
-    """The per-task runner: invokes `script` with the array index
-    appended as `--cls-id $TASK_ID` (ref cluster.py:72-73 passes
-    `--cfg_id $1`)."""
+               python: Optional[str] = None,
+               task_flag: Optional[str] = "--cls-id") -> str:
+    """The per-task runner: invokes `script` with the array index appended
+    as `<task_flag> $TASK_ID` (ref cluster.py:72-73 passes `--cfg_id $1`).
+    task_flag=None omits the index for scripts without a grid flag (e.g.
+    cli/train_tokenizer.py); $TASK_ID is still exported for the script."""
     python = python or sys.executable
     args = " ".join(shlex.quote(a) for a in script_args)
+    idx = f" {task_flag} $TASK_ID" if task_flag else ""
     return (
         "#!/bin/bash\n"
         "TASK_ID=${SLURM_ARRAY_TASK_ID:-${1:-0}}\n"
-        f"exec {shlex.quote(python)} {shlex.quote(script)} {args} "
-        "--cls-id $TASK_ID\n"
+        "export TASK_ID\n"
+        f"exec {shlex.quote(python)} {shlex.quote(script)} {args}{idx}\n"
     )
 
 
@@ -78,9 +81,10 @@ def slurm_submit_script(
     if tpu_gres:
         lines.append(f"#SBATCH --gres={tpu_gres}")
     if exclude_nodes:
-        # ref cluster.py:61-64 excludes nodes one requirement at a time;
-        # SLURM takes a comma list ('-' separated in the reference CLI)
-        lines.append(f"#SBATCH --exclude={','.join(exclude_nodes.split('-'))}")
+        # comma- or whitespace-separated (node names commonly contain '-',
+        # so the reference CLI's '-' separator would corrupt them)
+        nodes = [n for n in exclude_nodes.replace(",", " ").split() if n]
+        lines.append(f"#SBATCH --exclude={','.join(nodes)}")
     lines += ["", f"srun {shlex.quote(runner_path)}", ""]
     return "\n".join(lines)
 
@@ -94,6 +98,7 @@ def execute_task_on_cluster(
     num_workers: int = 8,
     memory_mb: int = 64000,
     submit: bool = False,
+    task_flag: Optional[str] = "--cls-id",
     **slurm_kw,
 ) -> str:
     """Write `<out_root>/<exp_name>_{run.sh,submit.sbatch}` (+ log dir)
@@ -105,7 +110,7 @@ def execute_task_on_cluster(
 
     runner_path = os.path.join(out_root, f"{exp_name}_run.sh")
     with open(runner_path, "w") as f:
-        f.write(run_script(script, script_args))
+        f.write(run_script(script, script_args, task_flag=task_flag))
     os.chmod(runner_path, os.stat(runner_path).st_mode | stat.S_IRWXU)
 
     submit_path = os.path.join(out_root, f"{exp_name}_submit.sbatch")

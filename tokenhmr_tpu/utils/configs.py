@@ -139,7 +139,11 @@ def expand_grid(cfg: Dict, grid_fields: Sequence[str] = ()) -> List[Dict]:
 def _to_plain(cfg: Any) -> Any:
     """dataclass / dict / namespace -> plain nested dict (leaves repr'd)."""
     import dataclasses as _dc
-    if _dc.is_dataclass(cfg) and not isinstance(cfg, type):
+    if isinstance(cfg, type):
+        # class objects (e.g. jnp.bfloat16 dtype fields) are LEAVES —
+        # vars() would dump class internals into the tree
+        return cfg.__name__
+    if _dc.is_dataclass(cfg):
         return {f.name: _to_plain(getattr(cfg, f.name)) for f in _dc.fields(cfg)}
     if isinstance(cfg, dict):
         return {str(k): _to_plain(v) for k, v in cfg.items()}

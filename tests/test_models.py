@@ -808,3 +808,54 @@ class TestAttnBlockQ8:
         ref = od.reshape(-1, HD) @ wpd + bp + res.reshape(-1, K)
         np.testing.assert_allclose(np.asarray(out, np.float32).reshape(-1, K),
                                    ref, atol=5e-2, rtol=1e-2)
+
+
+class TestScanBlockFusedDispatch:
+    """_ScanViTBlock routes norm1+attention through the LN-fused kernel on
+    TPU (qln) and stays on the plain path on CPU — wiring test with the
+    backend and kernels stubbed."""
+
+    def test_ln_fused_wiring(self, monkeypatch):
+        from tokenhmr_tpu.models import vit as V
+
+        calls = []
+
+        def fake_fused(self, x_prequant, residual, attn_bias, scale,
+                       ln_raw=None):
+            calls.append("ln_raw" if ln_raw is not None else "prequant")
+            src = ln_raw[0] if ln_raw is not None else x_prequant[0]
+            return jnp.zeros(src.shape[:-1] + (self.cfg.embed_dim,),
+                             jnp.float32)
+
+        monkeypatch.setattr(V.ViTAttention, "_fused_qkv_attention",
+                            fake_fused)
+        monkeypatch.setattr(V.jax, "default_backend", lambda: "tpu")
+        monkeypatch.setenv("THMR_FUSED_LN", "1")
+        # fc1 static scales absent -> ViTMlp takes its LN fallback (pure
+        # XLA), so only the attention half needs stubbing
+        monkeypatch.setenv("THMR_FUSED_LN_MLP", "1")
+        cfg = V.ViTConfig(img_size=(64, 48), embed_dim=64, depth=1,
+                          num_heads=4, dtype=jnp.float32, quant="int8",
+                          attn_impl="pallas")
+        blk = V._ScanViTBlock(cfg, deterministic=True)
+        x = jnp.zeros((2, 12, 64))
+        params = blk.init(jax.random.PRNGKey(0), x, jnp.zeros(()))
+        calls.clear()
+        out, _ = blk.apply(params, x, jnp.zeros(()))
+        assert calls == ["ln_raw"]
+        assert out.shape == (2, 12, 64)
+
+    def test_cpu_stays_unfused(self, monkeypatch):
+        from tokenhmr_tpu.models import vit as V
+
+        called = []
+        monkeypatch.setattr(
+            V.ViTAttention, "_fused_qkv_attention",
+            lambda self, *a, **k: called.append(1) or jnp.zeros(()))
+        cfg = V.ViTConfig(img_size=(64, 48), embed_dim=64, depth=1,
+                          num_heads=4, dtype=jnp.float32, quant="int8")
+        blk = V._ScanViTBlock(cfg, deterministic=True)
+        x = jnp.zeros((2, 12, 64))
+        params = blk.init(jax.random.PRNGKey(0), x, jnp.zeros(()))
+        out, _ = blk.apply(params, x, jnp.zeros(()))
+        assert not called and out.shape == (2, 12, 64)

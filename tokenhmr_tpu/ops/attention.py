@@ -244,6 +244,54 @@ def _mha_packed_impl(qkv: jax.Array, scale: float, num_heads: int,
 # ms/layer at B=128) never touches HBM.
 # ---------------------------------------------------------------------------
 
+def _three_phase_attn(col, sc_ref, ob_ref, *, num_heads: int, head_dim: int,
+                      scale: float, bias_row, compute_dtype):
+    """Shared three-phase attention body: ALL QK^T matmuls, then ALL
+    softmaxes (pure VPU, probabilities normalized in place in the scores
+    scratch), then ALL PV matmuls back-to-back.  Separating the VPU
+    softmax from the MXU matmuls measured +4% e2e vs the per-head
+    interleave (docs/PERF_NOTES.md).
+
+    col(lo, hi) yields the (S, hi-lo) lane slice of the packed [q|k|v]
+    block; results land in ob_ref (S, H*D) f32."""
+    HD = num_heads * head_dim
+    for h in range(num_heads):
+        q = col(h * head_dim, (h + 1) * head_dim)
+        k = col(HD + h * head_dim, HD + (h + 1) * head_dim)
+        sc_ref[h] = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    for h in range(num_heads):
+        s = sc_ref[h] * scale
+        if bias_row is not None:  # per-key bias (ToMe log sizes)
+            s = s + bias_row
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        sc_ref[h] = p / jnp.sum(p, axis=-1, keepdims=True)
+    for h in range(num_heads):
+        v = col(2 * HD + h * head_dim, 2 * HD + (h + 1) * head_dim)
+        ob_ref[:, h * head_dim:(h + 1) * head_dim] = jnp.dot(
+            sc_ref[h].astype(compute_dtype), v,
+            preferred_element_type=jnp.float32)
+
+
+def _quant_rows_out(o, eps: float = 1e-8):
+    """Per-row symmetric int8 quant of a VMEM value: (int8, f32 scales)."""
+    rs = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True), eps) / 127.0
+    return jnp.clip(jnp.rint(o / rs), -127, 127).astype(jnp.int8), rs
+
+
+def _ln_quant_rows(xf, gamma_row, beta_row, eps: float):
+    """LayerNorm + per-row int8 quant on a (S, K) f32 VMEM value."""
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    mean2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps) * gamma_row + beta_row
+    rs = jnp.maximum(jnp.max(jnp.abs(y), axis=-1, keepdims=True), 1e-8) / 127.0
+    return jnp.clip(jnp.rint(y / rs), -127, 127).astype(jnp.int8), rs
+
+
 def _mha_packed_q8_kernel(*refs, scale: float, num_heads: int, head_dim: int,
                           block_rows: int, has_bias: bool = False):
     qkv_ref = refs[0]
@@ -295,34 +343,15 @@ def _mha_packed_q8_kernel3(*refs, scale: float, num_heads: int,
     s_ref = refs[2 + has_bias]
     sc_ref = refs[3 + has_bias]
     ob_ref = refs[4 + has_bias]
-    HD = num_heads * head_dim
     for b in range(block_rows):
-        for h in range(num_heads):
-            q = qkv_ref[b, :, h * head_dim:(h + 1) * head_dim]
-            k = qkv_ref[b, :, HD + h * head_dim: HD + (h + 1) * head_dim]
-            sc_ref[h] = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        for h in range(num_heads):
-            s = sc_ref[h] * scale
-            if bias_ref is not None:
-                s = s + bias_ref[b]
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            # normalize here (pure VPU phase) — the 2-phase kernel folds the
-            # denom into the smaller (S, D) output instead, but that fold
-            # is exactly the VPU<->MXU interleave this variant removes
-            sc_ref[h] = p / jnp.sum(p, axis=-1, keepdims=True)
-        for h in range(num_heads):
-            v = qkv_ref[b, :, 2 * HD + h * head_dim: 2 * HD + (h + 1) * head_dim]
-            ob_ref[:, h * head_dim:(h + 1) * head_dim] = jnp.dot(
-                sc_ref[h].astype(qkv_ref.dtype), v,
-                preferred_element_type=jnp.float32)
-        o = ob_ref[:]
-        rs = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True), 1e-8) / 127.0
+        _three_phase_attn(
+            lambda lo, hi, b=b: qkv_ref[b, :, lo:hi], sc_ref, ob_ref,
+            num_heads=num_heads, head_dim=head_dim, scale=scale,
+            bias_row=bias_ref[b] if bias_ref is not None else None,
+            compute_dtype=qkv_ref.dtype)
+        oq, rs = _quant_rows_out(ob_ref[:])
         s_ref[b] = rs
-        o_ref[b] = jnp.clip(jnp.rint(o / rs), -127, 127).astype(jnp.int8)
+        o_ref[b] = oq
 
 
 def mha_packed_q8(qkv: jax.Array, scale: float, num_heads: int,
@@ -405,7 +434,6 @@ def _qkv_mha_q8_kernel(*refs, scale: float, num_heads: int, head_dim: int,
     qkv_ref = refs[6 + has_bias]   # (S, 3HD) bf16 scratch
     sc_ref = refs[7 + has_bias]    # (H, S, S) f32 scratch
     ob_ref = refs[8 + has_bias]    # (S, HD) f32 scratch
-    HD = num_heads * head_dim
     for b in range(block_rows):
         acc = jax.lax.dot_general(
             xq_ref[b], wq_ref[:], (((1,), (0,)), ((), ())),
@@ -413,29 +441,14 @@ def _qkv_mha_q8_kernel(*refs, scale: float, num_heads: int, head_dim: int,
         )
         h = acc.astype(jnp.float32) * xs_ref[b] * wsb_ref[0:1] + wsb_ref[1:2]
         qkv_ref[:] = h.astype(qkv_ref.dtype)
-        for hh in range(num_heads):
-            q = qkv_ref[:, hh * head_dim:(hh + 1) * head_dim]
-            k = qkv_ref[:, HD + hh * head_dim: HD + (hh + 1) * head_dim]
-            sc_ref[hh] = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        for hh in range(num_heads):
-            s = sc_ref[hh] * scale
-            if bias_ref is not None:
-                s = s + bias_ref[b]
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            sc_ref[hh] = p / jnp.sum(p, axis=-1, keepdims=True)
-        for hh in range(num_heads):
-            v = qkv_ref[:, 2 * HD + hh * head_dim: 2 * HD + (hh + 1) * head_dim]
-            ob_ref[:, hh * head_dim:(hh + 1) * head_dim] = jnp.dot(
-                sc_ref[hh].astype(qkv_ref.dtype), v,
-                preferred_element_type=jnp.float32)
-        o = ob_ref[:]
-        rs = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True), 1e-8) / 127.0
+        _three_phase_attn(
+            lambda lo, hi: qkv_ref[:, lo:hi], sc_ref, ob_ref,
+            num_heads=num_heads, head_dim=head_dim, scale=scale,
+            bias_row=bias_ref[b] if bias_ref is not None else None,
+            compute_dtype=qkv_ref.dtype)
+        oq, rs = _quant_rows_out(ob_ref[:])
         s_ref[b] = rs
-        o_ref[b] = jnp.clip(jnp.rint(o / rs), -127, 127).astype(jnp.int8)
+        o_ref[b] = oq
 
 
 def qkv_mha_q8(xq: jax.Array, xs: jax.Array, wq: jax.Array, ws: jax.Array,
@@ -517,46 +530,23 @@ def _ln_qkv_mha_q8_kernel(*refs, scale: float, num_heads: int, head_dim: int,
     qkv_ref = refs[7 + has_bias]   # (S, 3HD) bf16 scratch
     sc_ref = refs[8 + has_bias]    # (H, S, S) f32 scratch
     ob_ref = refs[9 + has_bias]    # (S, HD) f32 scratch
-    HD = num_heads * head_dim
     for b in range(block_rows):
-        xf = x_ref[b].astype(jnp.float32)             # (S, K)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        mean2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
-        var = jnp.maximum(mean2 - mean * mean, 0.0)
-        y = (xf - mean) * jax.lax.rsqrt(var + eps) * g_ref[:] + b_ref[:]
-        rs = jnp.maximum(jnp.max(jnp.abs(y), axis=-1, keepdims=True),
-                         1e-8) / 127.0
-        xq = jnp.clip(jnp.rint(y / rs), -127, 127).astype(jnp.int8)
+        xq, rs = _ln_quant_rows(x_ref[b].astype(jnp.float32),
+                                g_ref[:], b_ref[:], eps)
         acc = jax.lax.dot_general(
             xq, wq_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
         h = acc.astype(jnp.float32) * rs * wsb_ref[0:1] + wsb_ref[1:2]
         qkv_ref[:] = h.astype(qkv_ref.dtype)
-        for hh in range(num_heads):
-            q = qkv_ref[:, hh * head_dim:(hh + 1) * head_dim]
-            k = qkv_ref[:, HD + hh * head_dim: HD + (hh + 1) * head_dim]
-            sc_ref[hh] = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        for hh in range(num_heads):
-            s = sc_ref[hh] * scale
-            if bias_ref is not None:
-                s = s + bias_ref[b]
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            sc_ref[hh] = p / jnp.sum(p, axis=-1, keepdims=True)
-        for hh in range(num_heads):
-            v = qkv_ref[:, 2 * HD + hh * head_dim: 2 * HD + (hh + 1) * head_dim]
-            ob_ref[:, hh * head_dim:(hh + 1) * head_dim] = jnp.dot(
-                sc_ref[hh].astype(qkv_ref.dtype), v,
-                preferred_element_type=jnp.float32)
-        o = ob_ref[:]
-        ors = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True),
-                          1e-8) / 127.0
+        _three_phase_attn(
+            lambda lo, hi: qkv_ref[:, lo:hi], sc_ref, ob_ref,
+            num_heads=num_heads, head_dim=head_dim, scale=scale,
+            bias_row=bias_ref[b] if bias_ref is not None else None,
+            compute_dtype=qkv_ref.dtype)
+        oq, ors = _quant_rows_out(ob_ref[:])
         s_ref[b] = ors
-        o_ref[b] = jnp.clip(jnp.rint(o / ors), -127, 127).astype(jnp.int8)
+        o_ref[b] = oq
 
 
 def ln_qkv_mha_q8(x: jax.Array, gamma: jax.Array, beta: jax.Array,
@@ -638,45 +628,21 @@ def _attn_block_q8_kernel(*refs, scale: float, num_heads: int, head_dim: int,
     qkv_ref = refs[9 + has_bias]   # (S, 3HD) bf16 scratch
     sc_ref = refs[10 + has_bias]   # (H, S, S) f32 scratch
     ob_ref = refs[11 + has_bias]   # (S, HD) f32 scratch
-    HD = num_heads * head_dim
     for b in range(block_rows):
-        xf = x_ref[b].astype(jnp.float32)             # (S, K)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        mean2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
-        var = jnp.maximum(mean2 - mean * mean, 0.0)
-        y = (xf - mean) * jax.lax.rsqrt(var + eps) * g_ref[:] + b_ref[:]
-        rs = jnp.maximum(jnp.max(jnp.abs(y), axis=-1, keepdims=True),
-                         1e-8) / 127.0
-        xq = jnp.clip(jnp.rint(y / rs), -127, 127).astype(jnp.int8)
+        xq, rs = _ln_quant_rows(x_ref[b].astype(jnp.float32),
+                                g_ref[:], b_ref[:], eps)
         acc = jax.lax.dot_general(
             xq, wq_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
         qkv_ref[:] = (acc.astype(jnp.float32) * rs * wsb_ref[0:1]
                       + wsb_ref[1:2]).astype(qkv_ref.dtype)
-        for hh in range(num_heads):
-            q = qkv_ref[:, hh * head_dim:(hh + 1) * head_dim]
-            k = qkv_ref[:, HD + hh * head_dim: HD + (hh + 1) * head_dim]
-            sc_ref[hh] = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        for hh in range(num_heads):
-            s = sc_ref[hh] * scale
-            if bias_ref is not None:
-                s = s + bias_ref[b]
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            sc_ref[hh] = p / jnp.sum(p, axis=-1, keepdims=True)
-        for hh in range(num_heads):
-            v = qkv_ref[:, 2 * HD + hh * head_dim: 2 * HD + (hh + 1) * head_dim]
-            ob_ref[:, hh * head_dim:(hh + 1) * head_dim] = jnp.dot(
-                sc_ref[hh].astype(qkv_ref.dtype), v,
-                preferred_element_type=jnp.float32)
-        o = ob_ref[:]
-        ors = jnp.maximum(jnp.max(jnp.abs(o), axis=-1, keepdims=True),
-                          1e-8) / 127.0
-        oq = jnp.clip(jnp.rint(o / ors), -127, 127).astype(jnp.int8)
+        _three_phase_attn(
+            lambda lo, hi: qkv_ref[:, lo:hi], sc_ref, ob_ref,
+            num_heads=num_heads, head_dim=head_dim, scale=scale,
+            bias_row=bias_ref[b] if bias_ref is not None else None,
+            compute_dtype=qkv_ref.dtype)
+        oq, ors = _quant_rows_out(ob_ref[:])
         acc2 = jax.lax.dot_general(
             oq, wp_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,

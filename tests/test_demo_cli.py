@@ -41,3 +41,14 @@ class TestDemoOutputs:
               "--tiny", "--platform", "cpu", "--detector", "full_frame",
               "--quant", "int8"])
         assert "scene_all.png" in os.listdir(out)
+
+    def test_device_preproc_with_quant(self, img_dir, tmp_path):
+        """--device-preproc + --quant int8: the first frame's host-warped
+        crops calibrate, and the updated params reach the serving pipeline
+        (pipeline.params is swapped after calibration)."""
+        from cli.demo import main
+        out = tmp_path / "out_dp"
+        main(["--img-folder", str(img_dir), "--out-folder", str(out),
+              "--tiny", "--platform", "cpu", "--detector", "full_frame",
+              "--device-preproc", "--quant", "int8"])
+        assert "scene_all.png" in os.listdir(out)

@@ -142,13 +142,14 @@ def main():
         for _ in range(warmup):
             v, c = pixels_to_vertices(params, crops)
         float(jnp.sum(v))
-    except Exception as e:
-        if not merge:
+    except jax.errors.JaxRuntimeError as e:
+        # ONLY compile/runtime errors from XLA (scoped-VMEM OOM on
+        # borderline pallas tiles in rare fusion contexts,
+        # docs/PERF_NOTES.md round 2) fall back to the exact graph; any
+        # other exception (a real bug in the merged/fused path) propagates
+        # so regressions are loud.  BENCH_FALLBACK=0 disables even this.
+        if not merge or os.environ.get("BENCH_FALLBACK", "1") != "1":
             raise
-        # borderline pallas tiles can OOM scoped VMEM in rare fusion
-        # contexts with some merge schedules (docs/PERF_NOTES.md round 2);
-        # the bench must never fail on the default config, so fall back to
-        # the exact (unmerged) graph
         print(f"# merge schedule failed to compile ({type(e).__name__}); "
               f"falling back to exact graph", file=sys.stderr)
         merge = ""
@@ -167,9 +168,18 @@ def main():
             v, c = pixels_to_vertices(params, crops)
         float(jnp.sum(v))
 
-    if os.environ.get("BENCH_CHECK", "0") == "1":
-        # accuracy vs the exact bf16 graph (no quant, no merging), in SMPL
-        # vertex space
+    delta_mm = delta_p99_mm = None
+    exact_crops_per_sec = None
+    if os.environ.get("BENCH_CHECK", "1") == "1":
+        # numeric health, default ON (asserted below): vertex-space delta
+        # of the benched config vs the exact bf16 reference graph (no
+        # quant, no merging) on the SAME batch — a kernel regression on
+        # real hardware shifts this and fails the bench instead of
+        # silently shifting accuracy.  NOTE: with the driver's synthetic
+        # random weights this delta is chaos-amplified (32 random residual
+        # blocks; docs/PERF_NOTES.md); the schedule-choice accuracy
+        # evidence lives in the trained-weight table in PERF_NOTES, not
+        # here.
         import dataclasses
         bcfg = dataclasses.replace(
             cfg, vit=dataclasses.replace(cfg.vit, quant=None,
@@ -184,10 +194,31 @@ def main():
 
         v_ref = ref_fn(params, crops)
         dv = jnp.linalg.norm(v - v_ref, axis=-1)  # (B, V) in meters
+        delta_mm = float(jnp.mean(dv)) * 1000
+        delta_p99_mm = float(jnp.percentile(dv, 99)) * 1000
         tag = f"quant={quant} merge={merge or 'off'}"
         print(f"# [{tag}] vs exact-bf16 vertex delta: "
-              f"mean {float(jnp.mean(dv))*1000:.3f} mm, "
-              f"p99 {float(jnp.percentile(dv, 99))*1000:.3f} mm", file=sys.stderr)
+              f"mean {delta_mm:.3f} mm, p99 {delta_p99_mm:.3f} mm",
+              file=sys.stderr)
+        assert np.isfinite(delta_mm), "non-finite output from benched graph"
+        bound = float(os.environ.get("BENCH_DELTA_MAX", "120"))
+        assert delta_mm < bound, (
+            f"vertex delta {delta_mm:.1f} mm exceeds BENCH_DELTA_MAX={bound}"
+            " — kernel numeric regression")
+
+        if os.environ.get("BENCH_SECONDARY", "1") == "1":
+            # secondary metric in the same run (ADVICE r2): throughput of
+            # the EXACT reference graph (bf16, no merge/quant), so the
+            # headline never hides the speed/accuracy knob
+            ref_iters = max(4, iters // 4)
+            v_ref = ref_fn(params, crops)
+            float(jnp.sum(v_ref))
+            t0 = time.perf_counter()
+            for _ in range(ref_iters):
+                v_ref = ref_fn(params, crops)
+            float(jnp.sum(v_ref))
+            exact_crops_per_sec = round(
+                batch_size * ref_iters / (time.perf_counter() - t0), 2)
 
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -196,13 +227,19 @@ def main():
     dt = time.perf_counter() - t0
 
     crops_per_sec = batch_size * iters / dt
-    print(json.dumps({
+    rec = {
         "metric": "e2e_crops_per_sec_per_chip",
         "value": round(crops_per_sec, 2),
         "unit": "256x192 crops/sec/chip (pixels->SMPL vertices)",
         "vs_baseline": round(crops_per_sec / BASELINE_CROPS_PER_SEC, 4),
         "config": f"quant={quant} merge={merge or 'off'} B={batch_size}",
-    }))
+    }
+    if delta_mm is not None:
+        rec["delta_mm"] = round(delta_mm, 3)
+        rec["delta_p99_mm"] = round(delta_p99_mm, 3)
+    if exact_crops_per_sec is not None:
+        rec["exact_bf16_crops_per_sec"] = exact_crops_per_sec
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

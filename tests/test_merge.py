@@ -53,7 +53,7 @@ def test_weighted_mean_semantics():
 def test_match_picks_most_similar():
     rng = np.random.RandomState(2)
     x = rng.randn(2, 12, 8).astype(np.float32)
-    src, dst, keep = bipartite_soft_match(jnp.asarray(x), jnp.ones((2, 12)), r=3)
+    src, dst, keep = bipartite_soft_match(jnp.asarray(x), r=3)
     assert src.shape == (2, 3) and dst.shape == (2, 3) and keep.shape == (2, 3)
     # src/keep together enumerate all of A exactly once
     both = np.sort(np.concatenate([np.asarray(src), np.asarray(keep)], axis=1), axis=1)

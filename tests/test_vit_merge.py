@@ -74,3 +74,21 @@ def test_full_model_with_merge_runs():
     )(params, img)
     assert out["pred_vertices"].shape[0] == 2
     assert np.all(np.isfinite(np.asarray(out["pred_vertices"])))
+
+
+def test_merge_metric_x_vs_keys_both_run(tiny_vit):
+    """merge_metric selects the matching features only: both variants run,
+    produce the same shapes/sizes accounting, and (generically) different
+    merge plans."""
+    params, x = tiny_vit
+    outs = {}
+    for metric in ("keys", "x"):
+        cfg = dataclasses.replace(TINY, merge_schedule=((1, 3),),
+                                  merge_metric=metric)
+        out, sizes = vit_apply(cfg, {"params": params}, x)
+        assert out.shape == (2, TINY.num_patches - 3, TINY.embed_dim)
+        np.testing.assert_allclose(np.asarray(jnp.sum(sizes, axis=-1)),
+                                   float(TINY.num_patches), rtol=1e-5)
+        outs[metric] = np.asarray(out)
+    # with random weights the two metrics should pick different pairs
+    assert not np.allclose(outs["keys"], outs["x"])

@@ -108,9 +108,11 @@ def forward_step(
     feats, tok_sizes = vit_apply(cfg.vit, bb_vars, img, train=train, rngs=rngs)
     head = _make_head(cfg, frozen, mean_params)
     head_kw = {}
-    if tok_sizes is not None:
+    if tok_sizes is not None and cfg.vit.merge_prop_attn:
         # ToMe proportional attention for the head's cross-attn over the
-        # merged backbone tokens (log token sizes as a per-key bias)
+        # merged backbone tokens (log token sizes as a per-key bias);
+        # gated on the same flag the ViT segments use so an A/B of
+        # merge_prop_attn toggles backbone and head consistently
         head_kw["context_log_size"] = jnp.log(tok_sizes)
     pred_smpl_params, pred_cam, extras = head.apply(
         {"params": params["head"]}, feats, train=train, rngs=rngs, **head_kw

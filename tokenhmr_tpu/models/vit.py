@@ -66,6 +66,11 @@ class ViTConfig:
     merge_schedule: Tuple[Tuple[int, int], ...] = ()
     # proportional attention over merged tokens (log-size key bias)
     merge_prop_attn: bool = True
+    # similarity features for bipartite matching: "keys" = the upcoming
+    # block's attention keys, head-mean (the ToMe paper's metric — one
+    # extra (S,C)@(C,C) matmul per merge site, ~0.1% of total FLOPs);
+    # "x" = raw block input (round-2 behavior, kept for A/B)
+    merge_metric: str = "keys"
 
     @property
     def grid_hw(self) -> Tuple[int, int]:
@@ -548,6 +553,33 @@ def vit_apply(cfg: ViTConfig, variables, x, train: bool = False, rngs=None):
     return _vit_forward_merged(cfg, variables, x)
 
 
+def _merge_metric_keys(c: ViTConfig, block_params, k: int, x: jax.Array):
+    """ToMe matching metric: attention keys of the block the merged tokens
+    are about to enter, averaged over heads (Bolya et al. match on keys;
+    their ablations show raw hidden states degrade more).
+
+    Merging here happens BETWEEN blocks (the reference merges inside the
+    block after its attention), so the closest analogue is the upcoming
+    block `k`'s keys: K = LN(x; norm1) @ W_k + b_k, head-mean -> (B, S, D).
+    """
+    g = block_params["norm1"]["scale"][k].astype(jnp.float32)
+    b = block_params["norm1"]["bias"][k].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+    h = ((xf - mean) * jax.lax.rsqrt(var + 1e-6) * g + b).astype(c.dtype)
+
+    C = c.embed_dim
+    wk = block_params["attn"]["qkv"]["kernel"][k][:, C:2 * C].astype(c.dtype)
+    keys = jnp.dot(h, wk)
+    qkv_p = block_params["attn"]["qkv"]
+    if "bias" in qkv_p:
+        keys = keys + qkv_p["bias"][k][C:2 * C].astype(c.dtype)
+    B, S, _ = keys.shape
+    D = C // c.num_heads
+    return keys.reshape(B, S, c.num_heads, D).mean(axis=2)
+
+
 def _vit_forward_merged(cfg: ViTConfig, variables, x):
     """Segmented ViT forward with ToMe token merging between segments.
 
@@ -584,7 +616,9 @@ def _vit_forward_merged(cfg: ViTConfig, variables, x):
     sizes = None
     for seg, (k0, k1) in enumerate(zip(bounds[:-1], bounds[1:])):
         if merges[seg]:
-            x, sizes = merge_tokens(x, sizes, merges[seg])
+            metric = (_merge_metric_keys(c, block_params, k0, x)
+                      if c.merge_metric == "keys" else None)
+            x, sizes = merge_tokens(x, sizes, merges[seg], metric=metric)
         bias = (jnp.log(sizes) if sizes is not None and c.merge_prop_attn
                 else None)
         seg_p = take(block_params, k0, k1)

@@ -32,7 +32,6 @@ import jax.numpy as jnp
 
 def bipartite_soft_match(
     metric: jax.Array,       # (B, S, C) similarity features (pre-norm ok)
-    sizes: jax.Array,        # (B, S) token sizes (>=1)
     r: int,                  # number of tokens to remove (static)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Plan a merge of `r` tokens: returns (src_idx, dst_idx, keep_idx).
@@ -72,7 +71,9 @@ def merge_tokens(
     x: jax.Array,            # (B, S, C) tokens
     sizes: Optional[jax.Array],  # (B, S) or None (=> all ones)
     r: int,
-    metric: Optional[jax.Array] = None,  # defaults to x
+    metric: Optional[jax.Array] = None,  # similarity features; the ToMe
+    # paper matches on attention keys (head-mean) — the ViT merged path
+    # passes the upcoming block's keys; defaults to x when absent
 ) -> Tuple[jax.Array, jax.Array]:
     """Merge r tokens: (B, S, C) -> (B, S - r, C) with updated sizes.
 
@@ -86,7 +87,7 @@ def merge_tokens(
         metric = x
     SA = (S + 1) // 2
     SB = S // 2
-    src_idx, dst_idx, keep_idx = bipartite_soft_match(metric, sizes, r)
+    src_idx, dst_idx, keep_idx = bipartite_soft_match(metric, r)
 
     xa, xb = x[:, 0::2], x[:, 1::2]
     sa, sb = sizes[:, 0::2], sizes[:, 1::2]

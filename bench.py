@@ -40,6 +40,26 @@ def main():
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
 
     cfg, frozen, smpl_model, params, _ = G._flagship(batch_size=batch_size)
+    trained = False
+    ckpt_path = os.environ.get(
+        "BENCH_CKPT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "artifacts_synth", "flagship_final.npz"))
+    if ckpt_path and os.path.exists(ckpt_path):
+        # trained weights (synthetic-data run, cli/train.py --synth-render
+        # --export-params): delta_mm below is then a TRAINED-weight number,
+        # not the chaos-amplified random-weight one
+        from tokenhmr_tpu.train.checkpoint import load_params_npz
+        trees, _cfgd = load_params_npz(ckpt_path)
+        as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+        params = as_jnp(trees["params"])
+        frozen = {
+            "params": as_jnp(trees["frozen_params"]),
+            "vq_state": frozen["vq_state"]._replace(
+                codebook=jnp.asarray(trees["codebook"]["codebook"])),
+        }
+        trained = True
+        print(f"# loaded trained weights from {ckpt_path}", file=sys.stderr)
     quant = os.environ.get("BENCH_QUANT", "int8")
     if quant == "int8":
         # W8A8 dynamic-quant MXU path for the ViT dense layers: measured
@@ -232,7 +252,8 @@ def main():
         "value": round(crops_per_sec, 2),
         "unit": "256x192 crops/sec/chip (pixels->SMPL vertices)",
         "vs_baseline": round(crops_per_sec / BASELINE_CROPS_PER_SEC, 4),
-        "config": f"quant={quant} merge={merge or 'off'} B={batch_size}",
+        "config": (f"quant={quant} merge={merge or 'off'} B={batch_size} "
+                   f"weights={'trained-synth' if trained else 'random'}"),
     }
     if delta_mm is not None:
         rec["delta_mm"] = round(delta_mm, 3)

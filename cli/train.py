@@ -170,6 +170,19 @@ def main(argv=None):
     p.add_argument("--cls-id", type=int, default=0,
                    help="grid-search index when config fields are lists")
     p.add_argument("--synthetic-data", action="store_true")
+    p.add_argument("--synth-render", action="store_true",
+                   help="fully-labelled on-device synthetic crops: humanoid "
+                        "SMPL + splat renderer generated inside jit "
+                        "(data/synth_crops.py) — trains without any host "
+                        "data path (used for the trained-weight int8/ToMe "
+                        "accuracy evidence, docs/PERF_NOTES.md)")
+    p.add_argument("--export-params", default=None,
+                   help="write a params-only flat npz (params + frozen "
+                        "tokenizer + config) at the end of training / on "
+                        "SIGTERM; bench.py consumes it via BENCH_CKPT")
+    p.add_argument("--drop-path", type=float, default=None,
+                   help="override ViT stochastic-depth rate (release 0.55; "
+                        "short synthetic runs converge faster at ~0.1)")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = p.parse_args(argv)
@@ -198,6 +211,16 @@ def main(argv=None):
         import dataclasses as dc
 
         cfg = dc.replace(cfg, vit=dc.replace(cfg.vit, remat=True))
+    if args.drop_path is not None:
+        import dataclasses as dc
+
+        cfg = dc.replace(cfg, vit=dc.replace(cfg.vit,
+                                             drop_path_rate=args.drop_path))
+    if args.synth_render:
+        from tokenhmr_tpu.models.humanoid import humanoid_smpl_model
+
+        smpl_model = humanoid_smpl_model(
+            num_vertices=400 if args.tiny else 6890)
     if args.tokenizer_checkpoint:
         from tokenhmr_tpu.convert.load import load_tokenizer_checkpoint
         import dataclasses as dc
@@ -273,7 +296,20 @@ def main(argv=None):
 
         # --- data --------------------------------------------------------
         img_hw = cfg.vit.img_size
-        if args.synthetic_data:
+        synth_gen = None
+        if args.synth_render:
+            from tokenhmr_tpu.data.synth_crops import (SynthConfig,
+                                                       make_synth_batch_fn)
+
+            scfg = SynthConfig(height=img_hw[0], width=img_hw[1],
+                               image_size=cfg.image_size,
+                               focal_length=cfg.focal_length)
+            _gen = make_synth_batch_fn(smpl_model, scfg)
+            synth_gen = jax.jit(
+                lambda r: _gen(r, args.batch_size),
+                out_shardings=batch_sharding(mesh))
+            batches = None
+        elif args.synthetic_data:
             batches = synthetic_batch_iter(
                 args.batch_size, (max(img_hw), max(img_hw)))
         else:
@@ -305,11 +341,24 @@ def main(argv=None):
                 lambda x: jax.device_put(jnp.asarray(x), bs)
                 if hasattr(x, "shape") and np.ndim(x) > 0 else x, b)
 
-        dev_batches = device_prefetch(batches, put_batch, depth=2)
+        dev_batches = (device_prefetch(batches, put_batch, depth=2)
+                       if batches is not None else None)
+
+        def export_params():
+            if not args.export_params or jax.process_index() != 0:
+                return
+            from tokenhmr_tpu.train.checkpoint import save_params_npz
+            trees = {"params": params, "frozen_params": frozen["params"],
+                     "codebook": {"codebook": frozen["vq_state"].codebook}}
+            save_params_npz(args.export_params, trees, config=cfg)
+            print(f"exported params to {args.export_params}")
 
         t0 = time.time()
         for step in range(start, args.total_steps):
-            batch = next(dev_batches)
+            if synth_gen is not None:
+                batch = synth_gen(jax.random.PRNGKey(1_000_003 + step))
+            else:
+                batch = next(dev_batches)
             rng = jax.random.PRNGKey(step)
             if adversarial:
                 mocap = jax.tree_util.tree_map(
@@ -363,9 +412,11 @@ def main(argv=None):
                           config=cfg)
                 if stop_requested:
                     ckpt.wait()
+                    export_params()
                     print("SIGTERM: checkpoint saved, exiting for requeue")
                     return
         ckpt.wait()
+        export_params()
     print("training complete")
 
 

@@ -80,18 +80,26 @@ def main(argv=None):
         cfg = PQ.PoseVQConfig(quantizer=args.quantizer)
     if args.smplh_model:
         smplh = S.load_smpl_model(args.smplh_model)
+    elif args.tiny:
+        smplh = S.synthetic_smpl_model(num_vertices=400, num_joints=52)
     else:
-        smplh = S.synthetic_smpl_model(
-            num_vertices=400 if args.tiny else 6890, num_joints=52
-        )
+        # humanoid geometry: the area-weighted mesh loss then measures a
+        # real body surface, and the codebook trains on the same prior the
+        # synth-render TokenHMR stage samples (data/synth_crops.py)
+        from tokenhmr_tpu.models.humanoid import humanoid_smplh_model
+
+        smplh = humanoid_smplh_model(num_vertices=6890)
 
     if args.synthetic:
-        rng_np = np.random.RandomState(0)
+        from tokenhmr_tpu.data.synth_crops import sample_pose
+
         def synth_batches(bs, seed):
+            # physiological per-joint prior (same as synth-render crops);
+            # body joints 1..21 of the 23-joint SMPL body pose
             k = 0
             while True:
-                aa = np.random.RandomState(seed + k).randn(bs, 21, 3).astype(np.float32) * 0.3
-                yield np.asarray(axis_angle_to_matrix(jnp.asarray(aa)))
+                p = sample_pose(jax.random.PRNGKey(seed + k), bs)
+                yield np.asarray(p["body_pose"][:, :21])
                 k += 1
         train_iter = synth_batches(args.batch_size, 100)
         val_batches = [next(synth_batches(args.batch_size, 999))]

@@ -91,10 +91,49 @@ class CheckpointManager:
 
 
 # ---------------------------------------------------------------------------
-# Single-file npz checkpoints for small models (the person detector) —
-# self-describing like the orbax ones: params flattened by path + the
-# architecture config as embedded json.
+# Single-file npz checkpoints: params flattened by path + the architecture
+# config as embedded json.  Used for the person detector and for the
+# trained-flagship export consumed by bench.py (params-only, no optimizer
+# state — small enough to ship/reload without an orbax template tree).
 # ---------------------------------------------------------------------------
+
+def save_params_npz(path: str, trees: Dict[str, Any],
+                    config: Optional[Any] = None) -> None:
+    """Flatten {name: pytree-of-arrays} into one npz (f32/actual dtypes)."""
+    arrays = {}
+    for name, tree in trees.items():
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        for p, leaf in flat:
+            key = name + "/" + "/".join(
+                str(getattr(k, "key", getattr(k, "idx", k))) for k in p)
+            a = np.asarray(leaf)
+            if a.dtype == np.dtype("bfloat16"):
+                a = a.astype(np.float32)
+            arrays[key] = a
+    if config is not None:
+        arrays["__config__"] = np.frombuffer(
+            json.dumps(_cfg_to_dict(config)).encode(), np.uint8)
+    np.savez(path, **arrays)
+
+
+def load_params_npz(path: str):
+    """-> ({name: nested-dict tree}, config-dict-or-None).  Keys with
+    integer path components become dicts keyed by the int (flax param
+    trees are pure string-keyed dicts, so this only affects tuples-of-
+    arrays which callers re-assemble themselves)."""
+    data = np.load(path, allow_pickle=False)
+    trees: Dict[str, Any] = {}
+    cfg = None
+    for key in data.files:
+        if key == "__config__":
+            cfg = json.loads(bytes(data[key]).decode())
+            continue
+        parts = key.split("/")
+        node = trees
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[key]
+    return trees, cfg
 
 def save_detector_checkpoint(path: str, params: Any, cfg: Any) -> None:
     flat = jax.tree_util.tree_flatten_with_path(params)[0]

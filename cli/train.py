@@ -139,6 +139,10 @@ def main(argv=None):
                    help='json {"NAME": {"urls": ..., "weight": ...}}')
     p.add_argument("--amass-hist", default=None)
     p.add_argument("--tokenizer-checkpoint", default=None)
+    p.add_argument("--tokenizer-run-dir", default=None,
+                   help="out-dir of a cli.train_tokenizer run: restores the "
+                        "latest orbax ckpt (params + codebook + arch) as the "
+                        "frozen tokenizer — the in-framework two-stage path")
     p.add_argument("--pretrained-checkpoint", default=None,
                    help="torch ckpt (ViTPose/HMR2/TokenHMR) to init from")
     p.add_argument("--smpl-model", default=None)
@@ -150,6 +154,10 @@ def main(argv=None):
     p.add_argument("--weight-decay", type=float, default=1e-4)
     p.add_argument("--grad-clip", type=float, default=1.0)
     p.add_argument("--adv-weight", type=float, default=0.0)
+    p.add_argument("--token-loss-weight", type=float, default=0.0,
+                   help="CE weight on token logits vs frozen-encoder gt "
+                        "tokens (the PCT recipe; gt tokens derived on "
+                        "device inside the step)")
     p.add_argument("--loose-sup", action="store_true", default=True)
     p.add_argument("--no-loose-sup", dest="loose_sup", action="store_false")
     p.add_argument("--checkpoint-steps", type=int, default=2000)
@@ -184,10 +192,31 @@ def main(argv=None):
                    help="override ViT stochastic-depth rate (release 0.55; "
                         "short synthetic runs converge faster at ~0.1)")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 — enables multi-host SPMD "
+                        "via jax.distributed.initialize (the reference's "
+                        "Lightning DDP launch, ref train.py:82-87, SURVEY "
+                        "§2.8); every process runs the same command with "
+                        "its own --process-id")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--local-devices", type=int, default=None,
+                   help="virtual CPU device count per process (testing)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.coordinator:
+        if args.platform == "cpu":
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        if args.local_devices:
+            jax.config.update("jax_num_cpu_devices", args.local_devices)
+        jax.distributed.initialize(
+            args.coordinator, num_processes=args.num_processes,
+            process_id=args.process_id)
+        print(f"distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices", flush=True)
 
     import optax
 
@@ -229,6 +258,45 @@ def main(argv=None):
             args.tokenizer_checkpoint)
         frozen = {"params": pq_params, "vq_state": vq_state}
         cfg = dc.replace(cfg, posevq=pq_cfg)
+    elif args.tokenizer_run_dir:
+        import dataclasses as dc
+
+        from tokenhmr_tpu.models import posevq as PQ
+        from tokenhmr_tpu.train.checkpoint import CheckpointManager
+        from tokenhmr_tpu.train.tokenizer import make_tokenizer_optimizer
+
+        tok_ckpt = CheckpointManager(args.tokenizer_run_dir)
+        tok_cfg_d = tok_ckpt.load_config() or {}
+        fields = {f.name for f in dc.fields(PQ.PoseVQConfig)} - {"dtype"}
+        pq_cfg = PQ.PoseVQConfig(
+            **{k: tuple(v) if isinstance(v, list) else v
+               for k, v in tok_cfg_d.items() if k in fields})
+        tok_params = PQ.PoseVQ(pq_cfg).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 21, 6)))
+        tok_opt = make_tokenizer_optimizer()
+        state = tok_ckpt.restore({
+            "params": tok_params, "opt_state": tok_opt.init(tok_params),
+            "vq_state": PQ.vq_init_state(pq_cfg)})
+        frozen = {"params": state["params"], "vq_state": state["vq_state"]}
+        cfg = dc.replace(cfg, posevq=pq_cfg)
+        print(f"frozen tokenizer from {args.tokenizer_run_dir} "
+              f"(step {tok_ckpt.latest_step()})")
+    if args.tokenizer_checkpoint or args.tokenizer_run_dir:
+        # the head's classifier must match the tokenizer arch (logits dim =
+        # codebook size, query tokens = num_tokens); re-init params if the
+        # loaded tokenizer changed them
+        import dataclasses as dc
+
+        from tokenhmr_tpu.models.tokenhmr import init_tokenhmr
+        pq_cfg = cfg.posevq
+        if (cfg.head.token_class_num != pq_cfg.nb_code
+                or cfg.head.token_num != pq_cfg.num_tokens):
+            cfg = dc.replace(cfg, head=dc.replace(
+                cfg.head, token_class_num=pq_cfg.nb_code,
+                token_num=pq_cfg.num_tokens))
+            params = init_tokenhmr(jax.random.PRNGKey(0), cfg, frozen)
+            print(f"re-initialized head for tokenizer arch "
+                  f"(K={pq_cfg.nb_code}, T={pq_cfg.num_tokens})")
     if args.smpl_model:
         from tokenhmr_tpu.models import smpl as S
 
@@ -287,11 +355,15 @@ def main(argv=None):
             ), donate_argnums=(0, 1, 2, 3))
             mocap_ds = (MoCapDataset(args.mocap_npz) if args.mocap_npz
                         else SyntheticMoCap())
-            mocap_iter = mocap_batches(mocap_ds, args.batch_size)
+            mocap_iter = mocap_batches(
+                mocap_ds, args.batch_size // jax.process_count(),
+                seed=jax.process_index())
         else:
             step_fn = jax.jit(make_train_step(
                 cfg, smpl_model, frozen, optimizer, RELEASE_LOSS_WEIGHTS,
                 loose_sup=args.loose_sup,
+                token_loss_weight=args.token_loss_weight,
+                compute_gt_tokens=args.token_loss_weight > 0,
             ), donate_argnums=(0, 1))
 
         # --- data --------------------------------------------------------
@@ -311,9 +383,17 @@ def main(argv=None):
             batches = None
         elif args.synthetic_data:
             batches = synthetic_batch_iter(
-                args.batch_size, (max(img_hw), max(img_hw)))
+                args.batch_size // jax.process_count(),
+                (max(img_hw), max(img_hw)))
         else:
-            batches = tar_batch_iter(args, max(img_hw), smpl_model)
+            # per-host loader sharding: each process loads and feeds its
+            # own 1/process_count of the global batch (the reference's
+            # webdataset split_by_node, ref image_dataset.py:378)
+            import copy
+
+            largs = copy.copy(args)
+            largs.batch_size = args.batch_size // jax.process_count()
+            batches = tar_batch_iter(largs, max(img_hw), smpl_model)
 
         # --- checkpoint / resume ----------------------------------------
         # async saves: training never blocks on checkpoint writes; the
@@ -337,6 +417,13 @@ def main(argv=None):
         from tokenhmr_tpu.data.loader import device_prefetch
 
         def put_batch(b):
+            if jax.process_count() > 1:
+                # each host contributes its local rows of the global batch;
+                # XLA then runs one SPMD program over all hosts' devices
+                return jax.tree_util.tree_map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        bs, np.asarray(x))
+                    if hasattr(x, "shape") and np.ndim(x) > 0 else x, b)
             return jax.tree_util.tree_map(
                 lambda x: jax.device_put(jnp.asarray(x), bs)
                 if hasattr(x, "shape") and np.ndim(x) > 0 else x, b)
@@ -361,8 +448,7 @@ def main(argv=None):
                 batch = next(dev_batches)
             rng = jax.random.PRNGKey(step)
             if adversarial:
-                mocap = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(jnp.asarray(x), bs), next(mocap_iter))
+                mocap = put_batch(next(mocap_iter))
                 params, disc_params, opt_state, disc_opt_state, metrics = (
                     step_fn(params, disc_params, opt_state, disc_opt_state,
                             batch, mocap, rng))

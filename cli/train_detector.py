@@ -108,13 +108,17 @@ def main(argv=None):
     def infer(params, imgs):
         return decode_detections(model.apply({"params": params}, imgs), cfg)
 
-    def heldout_recall(params, n_imgs=32, seed=10_000_000):
-        """recall@IoU0.5 + false positives/img on fresh composites."""
+    def heldout_recall(params, n_imgs=32, seed=10_000_000, style="train"):
+        """recall@IoU0.5 + false positives/img on fresh composites.
+
+        style="train": same distribution as training (memorization floor);
+        style="heldout": disjoint generator params (synth_people.py) — the
+        generalization axis the VERDICT r2 #7 rig demands."""
         from tokenhmr_tpu.data.synth_people import make_composite
         rng = np.random.default_rng(seed)
         tp = fn = fp = 0
         for _ in range(n_imgs):
-            img, gts = make_composite(rng, cfg.img_size)
+            img, gts = make_composite(rng, cfg.img_size, style=style)
             boxes, scores = infer(params, jnp.asarray(
                 img[None].astype(np.float32) / 255.0))
             preds = np.asarray(boxes[0])[np.asarray(scores[0]) > 0.3]
@@ -151,12 +155,16 @@ def main(argv=None):
             print(f"step {it}: {m} ({rate:.0f} img/s)", flush=True)
         if args.eval_steps and (it + 1) % args.eval_steps == 0:
             rec, fpi = heldout_recall(params)
-            print(f"eval @ {it + 1}: recall@0.5 {rec:.3f}, "
-                  f"false pos/img {fpi:.2f}", flush=True)
+            hrec, hfpi = heldout_recall(params, style="heldout")
+            print(f"eval @ {it + 1}: train-dist recall@0.5 {rec:.3f} "
+                  f"(fp/img {fpi:.2f}) | HELD-OUT-dist recall@0.5 "
+                  f"{hrec:.3f} (fp/img {hfpi:.2f})", flush=True)
 
     if args.eval_steps:
         rec, fpi = heldout_recall(params)
-        print(f"final: recall@0.5 {rec:.3f}, false pos/img {fpi:.2f}")
+        hrec, hfpi = heldout_recall(params, style="heldout")
+        print(f"final: train-dist recall@0.5 {rec:.3f} (fp/img {fpi:.2f}) | "
+              f"HELD-OUT-dist recall@0.5 {hrec:.3f} (fp/img {hfpi:.2f})")
     save_detector_checkpoint(args.out, params, cfg)
     print(f"saved {args.out}")
 

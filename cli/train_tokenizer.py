@@ -15,6 +15,7 @@ Smoke mode (synthetic poses + synthetic SMPL-H, tiny arch):
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -93,16 +94,21 @@ def main(argv=None):
     if args.synthetic:
         from tokenhmr_tpu.data.synth_crops import sample_pose
 
-        def synth_batches(bs, seed):
+        # jit the sampler: eager per-batch sampling is dozens of small
+        # dispatches — seconds per batch over a remote-compile tunnel
+        @jax.jit
+        def _sample21(key):
+            return sample_pose(key, args.batch_size)["body_pose"][:, :21]
+
+        def synth_batches(seed):
             # physiological per-joint prior (same as synth-render crops);
             # body joints 1..21 of the 23-joint SMPL body pose
             k = 0
             while True:
-                p = sample_pose(jax.random.PRNGKey(seed + k), bs)
-                yield np.asarray(p["body_pose"][:, :21])
+                yield _sample21(jax.random.PRNGKey(seed + k))
                 k += 1
-        train_iter = synth_batches(args.batch_size, 100)
-        val_batches = [next(synth_batches(args.batch_size, 999))]
+        train_iter = synth_batches(100)
+        val_batches = [next(synth_batches(999))]
     else:
         train_ds = PoseDataset(args.train_npz)
         val_ds = PoseDataset(args.val_npz) if args.val_npz else train_ds
@@ -162,6 +168,11 @@ def main(argv=None):
         cfg, smplh, optimizer, loss_cfg, vw))
     eval_step = jax.jit(make_tokenizer_eval_step(cfg, smplh))
 
+    @functools.partial(jax.jit, static_argnums=2)
+    def _noise_in(rm, rng, step):
+        return rotation_6d_to_matrix(
+            add_noise_curriculum(matrix_to_rotation_6d(rm), rng, step=step))
+
     best_score = float("inf")
     t0 = time.time()
     for it in range(start_iter, args.total_iters):
@@ -169,10 +180,9 @@ def main(argv=None):
         rng = jax.random.PRNGKey(it)
         if args.add_noise:
             # noise applies to the 6D rep fed to the encoder; we mirror by
-            # noising rotmats' 6D projection inside the step input
-            gt6 = matrix_to_rotation_6d(gt_rotmat)
-            gt6 = add_noise_curriculum(gt6, rng, step=(it // 5000) * 5000)
-            gt_rotmat_in = rotation_6d_to_matrix(gt6)
+            # noising rotmats' 6D projection inside the step input (jitted:
+            # the curriculum step is bucketed so it re-traces every 5000)
+            gt_rotmat_in = _noise_in(gt_rotmat, rng, (it // 5000) * 5000)
         else:
             gt_rotmat_in = gt_rotmat
         params, opt_state, vq_state, metrics = train_step(

@@ -89,14 +89,30 @@ def sample_pose_joints(rng: np.random.Generator) -> np.ndarray:
     return pos
 
 
-def _random_background(rng, size: int) -> np.ndarray:
+def _random_background(rng, size: int, style: str = "train") -> np.ndarray:
     img = np.zeros((size, size, 3), np.uint8)
-    c0 = rng.integers(0, 255, 3)
-    c1 = rng.integers(0, 255, 3)
-    t = np.linspace(0, 1, size)[:, None]
-    grad = (c0[None, None] * (1 - t[:, :, None]) + c1[None, None] * t[:, :, None])
-    img[:] = grad.astype(np.uint8)
-    for _ in range(int(rng.integers(3, 12))):  # clutter
+    if style == "train":
+        c0 = rng.integers(0, 255, 3)
+        c1 = rng.integers(0, 255, 3)
+        t = np.linspace(0, 1, size)[:, None]
+        grad = (c0[None, None] * (1 - t[:, :, None]) + c1[None, None] * t[:, :, None])
+        img[:] = grad.astype(np.uint8)
+        n_clutter = int(rng.integers(3, 12))
+    else:
+        # held-out style: low-frequency 2-D colour field (no axis-aligned
+        # gradient) + denser clutter — deliberately disjoint generator
+        # params from the training distribution (VERDICT r2 #7)
+        yy, xx = np.meshgrid(np.linspace(0, 1, size), np.linspace(0, 1, size),
+                             indexing="ij")
+        field = np.zeros((size, size, 3), np.float32)
+        for c in range(3):
+            fy, fx = rng.uniform(1.5, 6.0, 2)
+            ph = rng.uniform(0, 2 * np.pi, 2)
+            field[:, :, c] = 127 + 90 * np.sin(fy * yy * np.pi + ph[0]) \
+                * np.cos(fx * xx * np.pi + ph[1])
+        img[:] = np.clip(field, 0, 255).astype(np.uint8)
+        n_clutter = int(rng.integers(10, 22))
+    for _ in range(n_clutter):
         color = tuple(int(v) for v in rng.integers(0, 255, 3))
         kind = rng.integers(3)
         if kind == 0:
@@ -109,7 +125,8 @@ def _random_background(rng, size: int) -> np.ndarray:
             cv2.line(img, tuple(rng.integers(0, size, 2)),
                      tuple(rng.integers(0, size, 2)), color,
                      int(rng.integers(1, 8)))
-    noise = rng.normal(0, rng.uniform(2, 14), img.shape)
+    hi = 14 if style == "train" else 22
+    noise = rng.normal(0, rng.uniform(2, hi), img.shape)
     return np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)
 
 
@@ -139,19 +156,45 @@ def draw_person(img: np.ndarray, joints3d: np.ndarray, center_px, height_px,
 
 
 def make_composite(rng: np.random.Generator, size: int = 256,
-                   max_people: int = 3) -> Tuple[np.ndarray, np.ndarray]:
-    """-> (img uint8 (S, S, 3) RGB, boxes (N, 4) xyxy, clipped to image)."""
-    img = _random_background(rng, size)
+                   max_people: int = 3,
+                   style: str = "train") -> Tuple[np.ndarray, np.ndarray]:
+    """-> (img uint8 (S, S, 3) RGB, boxes (N, 4) xyxy, clipped to image).
+
+    style="train" is the training distribution; style="heldout" draws from
+    deliberately DISJOINT generator parameters (colour-field backgrounds,
+    denser clutter, shifted person scales, wider placement, partial
+    occluders over people) so detector eval measures generalization along
+    a realism axis rather than memorization of the generator
+    (VERDICT r2 #7; real-photo eval stays blocked on absent data).
+    """
+    img = _random_background(rng, size, style)
     n = int(rng.integers(1, max_people + 1))
     boxes: List[np.ndarray] = []
     for _ in range(n):
         joints = sample_pose_joints(rng)
-        height = rng.uniform(0.3, 0.9) * size
-        center = rng.uniform(0.2, 0.8, 2) * size
+        if style == "train":
+            height = rng.uniform(0.3, 0.9) * size
+            center = rng.uniform(0.2, 0.8, 2) * size
+        else:
+            # disjoint scale band (smaller + larger extremes) and wider
+            # placement (people partially out of frame)
+            height = (rng.uniform(0.18, 0.3) if rng.uniform() < 0.5
+                      else rng.uniform(0.9, 1.15)) * size
+            center = rng.uniform(0.1, 0.9, 2) * size
         box = draw_person(img, joints, center, height, rng)
         box = np.clip(box, 0, size - 1)
         if (box[2] - box[0]) > 8 and (box[3] - box[1]) > 8:
             boxes.append(box)
+            if style == "heldout" and rng.uniform() < 0.4:
+                # partial occluder over up to ~25% of the person box
+                bw, bh = box[2] - box[0], box[3] - box[1]
+                ox = rng.uniform(box[0], box[2])
+                oy = rng.uniform(box[1], box[3])
+                cv2.rectangle(
+                    img, (int(ox), int(oy)),
+                    (int(ox + 0.5 * bw * rng.uniform(0.3, 1.0)),
+                     int(oy + 0.5 * bh * rng.uniform(0.3, 1.0))),
+                    tuple(int(v) for v in rng.integers(0, 255, 3)), -1)
     if rng.uniform() < 0.5:
         k = int(rng.integers(1, 4)) * 2 + 1
         img = cv2.GaussianBlur(img, (k, k), 0)

@@ -84,6 +84,8 @@ def main(argv=None):
                         "— the Lightning-DDP eval equivalent, ref eval.py via "
                         "pytorch DataLoader/cuda)")
     args = p.parse_args(argv)
+    from tokenhmr_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 

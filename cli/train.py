@@ -204,6 +204,8 @@ def main(argv=None):
                    help="virtual CPU device count per process (testing)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = p.parse_args(argv)
+    from tokenhmr_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if args.coordinator:
@@ -373,6 +375,10 @@ def main(argv=None):
             from tokenhmr_tpu.data.synth_crops import (SynthConfig,
                                                        make_synth_batch_fn)
 
+            n_dev = mesh.devices.size
+            assert args.batch_size % n_dev == 0, (
+                f"--batch-size {args.batch_size} must be divisible by the "
+                f"{n_dev}-device mesh for the on-device synth generator")
             scfg = SynthConfig(height=img_hw[0], width=img_hw[1],
                                image_size=cfg.image_size,
                                focal_length=cfg.focal_length)

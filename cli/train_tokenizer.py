@@ -54,6 +54,8 @@ def main(argv=None):
                         "option_posevq.py; release uses ema_reset)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = p.parse_args(argv)
+    from tokenhmr_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 

@@ -115,3 +115,18 @@ class TestNNDetector:
         det = make_detector("nn", ckpt=path)
         out = det(np.zeros((100, 140, 3), np.uint8))
         assert out.shape[1] == 5  # (N, xyxy+score) contract
+
+
+def test_heldout_composite_style_is_distinct():
+    """The generalization rig's held-out distribution is generated and
+    differs from the training distribution (disjoint generator params)."""
+    from tokenhmr_tpu.data.synth_people import make_composite
+
+    rng = np.random.default_rng(5)
+    img_t, boxes_t = make_composite(rng, 128, style="train")
+    rng = np.random.default_rng(5)
+    img_h, boxes_h = make_composite(rng, 128, style="heldout")
+    assert img_t.shape == img_h.shape == (128, 128, 3)
+    assert boxes_h.shape[1] == 4 if len(boxes_h) else True
+    # same seed, different generator params -> different images
+    assert not np.array_equal(img_t, img_h)

@@ -549,6 +549,59 @@ def _ln_qkv_mha_q8_kernel(*refs, scale: float, num_heads: int, head_dim: int,
         o_ref[b] = oq
 
 
+def _ln_qkv_mha_q8_kernel_hoist(*refs, scale: float, num_heads: int,
+                                head_dim: int, block_rows: int,
+                                has_bias: bool, eps: float):
+    """Cross-row phase hoist (ROADMAP perf #1): instead of running the
+    three attention phases per batch row ([QK,SM,PV] x R), ALL rows' QK
+    matmuls run back-to-back, then all softmaxes, then all PVs — R x
+    fewer MXU<->VPU phase boundaries per program at the cost of R x the
+    scores scratch ((R*H, S, S) f32) and an (R, S, 3HD) qkv scratch."""
+    x_ref, g_ref, b_ref, wq_ref, wsb_ref = (refs[0], refs[1], refs[2],
+                                            refs[3], refs[4])
+    bias_ref = refs[5] if has_bias else None
+    o_ref = refs[5 + has_bias]
+    s_ref = refs[6 + has_bias]
+    qkv_ref = refs[7 + has_bias]   # (R, S, 3HD) bf16 scratch
+    sc_ref = refs[8 + has_bias]    # (R*H, S, S) f32 scratch
+    ob_ref = refs[9 + has_bias]    # (S, HD) f32 scratch
+    H, D = num_heads, head_dim
+    HD = H * D
+    for b in range(block_rows):
+        xq, rs = _ln_quant_rows(x_ref[b].astype(jnp.float32),
+                                g_ref[:], b_ref[:], eps)
+        acc = jax.lax.dot_general(
+            xq, wq_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        h = acc.astype(jnp.float32) * rs * wsb_ref[0:1] + wsb_ref[1:2]
+        qkv_ref[b] = h.astype(qkv_ref.dtype)
+    for b in range(block_rows):
+        for hh in range(H):
+            q = qkv_ref[b, :, hh * D:(hh + 1) * D]
+            k = qkv_ref[b, :, HD + hh * D: HD + (hh + 1) * D]
+            sc_ref[b * H + hh] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    for b in range(block_rows):
+        for hh in range(H):
+            s = sc_ref[b * H + hh] * scale
+            if bias_ref is not None:
+                s = s + bias_ref[b]
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            sc_ref[b * H + hh] = p / jnp.sum(p, axis=-1, keepdims=True)
+    for b in range(block_rows):
+        for hh in range(H):
+            v = qkv_ref[b, :, 2 * HD + hh * D: 2 * HD + (hh + 1) * D]
+            ob_ref[:, hh * D:(hh + 1) * D] = jnp.dot(
+                sc_ref[b * H + hh].astype(qkv_ref.dtype), v,
+                preferred_element_type=jnp.float32)
+        oq, ors = _quant_rows_out(ob_ref[:])
+        s_ref[b] = ors
+        o_ref[b] = oq
+
+
 def ln_qkv_mha_q8(x: jax.Array, gamma: jax.Array, beta: jax.Array,
                   wq: jax.Array, ws: jax.Array, bias: jax.Array,
                   scale: float, num_heads: int,
@@ -586,8 +639,20 @@ def ln_qkv_mha_q8(x: jax.Array, gamma: jax.Array, beta: jax.Array,
         in_specs.append(pl.BlockSpec((R, 1, S), lambda b: (b, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(attn_bias.astype(jnp.float32)[:, None, :])
+    hoist = _os.environ.get("THMR_ATTN_HOIST", "0") == "1" and R > 1
+    kernel = (_ln_qkv_mha_q8_kernel_hoist if hoist
+              else _ln_qkv_mha_q8_kernel)
+    scratch = ([
+        pltpu.VMEM((R, S, THD), jnp.bfloat16),
+        pltpu.VMEM((R * num_heads, S, S), jnp.float32),
+        pltpu.VMEM((S, HD), jnp.float32),
+    ] if hoist else [
+        pltpu.VMEM((S, THD), jnp.bfloat16),
+        pltpu.VMEM((num_heads, S, S), jnp.float32),
+        pltpu.VMEM((S, HD), jnp.float32),
+    ])
     return pl.pallas_call(
-        functools.partial(_ln_qkv_mha_q8_kernel, scale=scale,
+        functools.partial(kernel, scale=scale,
                           num_heads=num_heads, head_dim=D, block_rows=R,
                           has_bias=attn_bias is not None, eps=eps),
         grid=(B // R,),
@@ -602,11 +667,7 @@ def ln_qkv_mha_q8(x: jax.Array, gamma: jax.Array, beta: jax.Array,
             jax.ShapeDtypeStruct((B, S, HD), jnp.int8),
             jax.ShapeDtypeStruct((B, S, 1), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((S, THD), jnp.bfloat16),
-            pltpu.VMEM((num_heads, S, S), jnp.float32),
-            pltpu.VMEM((S, HD), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * S * K * THD + 4 * B * num_heads * S * S * D,
             bytes_accessed=x.size * x.dtype.itemsize + wq.size + B * S * HD,

@@ -75,3 +75,17 @@ def device_memory_stats() -> Optional[Dict[str, float]]:
         }
     except Exception:
         return None
+
+
+def enable_compile_cache(path: str = "/root/.cache/jax_comp") -> None:
+    """Persistent XLA compile cache: ViT-H-scale compiles take minutes over
+    a remote-compile tunnel; the cache makes re-runs start in seconds.
+    Call from CLIs before any jit executes."""
+    import os
+
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - config name drift
+        pass

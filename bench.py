@@ -128,10 +128,23 @@ def main():
         out = forward_step(params, frozen, cfg, smpl_model, x)
         return out["pred_vertices"], out["pred_cam_t"]
 
-    rng = np.random.RandomState(0)
-    crops = jnp.asarray(
-        rng.randint(0, 255, (batch_size, 256, 192, 3), dtype=np.uint8)
-    )
+    if trained:
+        # realistic inputs for the numeric-health check: the same
+        # synthetic-render distribution the weights were trained on
+        # (noise inputs would drive a trained model to its mean pose and
+        # understate quant/merge deltas)
+        from tokenhmr_tpu.data.synth_crops import (SynthConfig,
+                                                   make_synth_batch_fn)
+        gen = jax.jit(make_synth_batch_fn(
+            smpl_model, SynthConfig(normalize=False)), static_argnums=1)
+        img = gen(jax.random.PRNGKey(42_000_000), batch_size)["img"]
+        crops = jnp.asarray(
+            (np.asarray(img) * 255).clip(0, 255).astype(np.uint8))
+    else:
+        rng = np.random.RandomState(0)
+        crops = jnp.asarray(
+            rng.randint(0, 255, (batch_size, 256, 192, 3), dtype=np.uint8)
+        )
 
     if quant == "int8" and os.environ.get("BENCH_STATIC_QUANT", "1") == "1":
         # one calibration forward (bf16) records per-channel fc1-output

@@ -1,0 +1,173 @@
+"""Operating-point accuracy table on TRAINED weights (VERDICT r2 #2).
+
+Loads the synthetic-data-trained flagship export
+(artifacts_synth/flagship_final.npz), builds a fixed held-out synthetic
+eval set, and for each inference operating point (exact bf16, int8,
+int8 + each ToMe merge schedule, keys- vs x-metric) reports:
+
+  * PVE / MPJPE / PA-MPJPE vs ground truth (utils/evaluator.py protocols)
+  * mean vertex delta vs the exact-bf16 graph (same batch)
+
+Output: a markdown table (stdout + docs/ACC_TABLE.md) — the evidence that
+picks bench.py's default merge schedule.
+
+Usage:  python scripts/acc_table.py [--n 512] [--batch 64]
+"""
+import argparse
+import dataclasses as dc
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SCHEDULES = {
+    "merge-off": "",
+    "3-site 8:32,16:32,24:32": "8:32,16:32,24:32",
+    "4-site 6:32,12:32,18:32,24:32 (r2 default)": "6:32,12:32,18:32,24:32",
+    "4-site agg 4:64,10:48,16:32,22:16": "4:64,10:48,16:32,22:16",
+    "5-site max 4:80,10:48,16:24,20:16,26:8": "4:80,10:48,16:24,20:16,26:8",
+}
+
+
+def parse_sched(s):
+    if not s:
+        return ()
+    return tuple(tuple(int(v) for v in part.split(":")) for part in s.split(","))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", default="artifacts_synth/flagship_final.npz")
+    p.add_argument("--n", type=int, default=512)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--out", default="docs/ACC_TABLE.md")
+    p.add_argument("--metrics", default="keys,x",
+                   help="merge metrics to sweep")
+    args = p.parse_args()
+
+    os.makedirs("/root/.cache/jax_comp", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import __graft_entry__ as G
+    from tokenhmr_tpu.data.synth_crops import SynthConfig, make_synth_batch_fn
+    from tokenhmr_tpu.models.smpl import smpl_openpose_forward
+    from tokenhmr_tpu.models.tokenhmr import forward_step
+    from tokenhmr_tpu.models.vit import ViT
+    from tokenhmr_tpu.train.checkpoint import load_params_npz
+    from tokenhmr_tpu.utils.evaluator import Evaluator
+
+    cfg, frozen, smpl_model, params, _ = G._flagship(batch_size=1)
+    trees, _ = load_params_npz(args.ckpt)
+    as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    params = as_jnp(trees["params"])
+    frozen = {"params": as_jnp(trees["frozen_params"]),
+              "vq_state": frozen["vq_state"]._replace(
+                  codebook=jnp.asarray(trees["codebook"]["codebook"]))}
+    print(f"loaded trained weights from {args.ckpt}", file=sys.stderr)
+
+    # held-out eval set: seed range disjoint from training (training uses
+    # PRNGKey(1_000_003 + step), tokenizer 100+k)
+    gen = jax.jit(make_synth_batch_fn(smpl_model, SynthConfig()),
+                  static_argnums=1)
+    batches = [gen(jax.random.PRNGKey(77_000_000 + i), args.batch)
+               for i in range(args.n // args.batch)]
+
+    bf16_params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params)
+
+    def make_fn(quant, sched, metric):
+        c = dc.replace(cfg, vit=dc.replace(
+            cfg.vit, quant=("int8" if quant else None),
+            merge_schedule=parse_sched(sched), merge_metric=metric,
+            dtype=jnp.bfloat16),
+            head=dc.replace(cfg.head, dtype=jnp.bfloat16,
+                            decoder=dc.replace(cfg.head.decoder,
+                                               dtype=jnp.bfloat16)))
+        pp = dict(bf16_params)
+        if quant:
+            ccfg = dc.replace(c.vit, quant="calib")
+
+            @jax.jit
+            def calib(pp_, img):
+                return ViT(ccfg).apply({"params": pp_["backbone"]}, img,
+                                       mutable=["quant"])[1]["quant"]
+
+            pp["backbone_quant"] = calib(bf16_params, batches[0]["img"])
+
+        @jax.jit
+        def fn(img):
+            out = forward_step(pp, frozen, c, smpl_model, img)
+            return (out["pred_vertices"], out["pred_keypoints_3d"])
+
+        return fn
+
+    def evaluate(fn, ref_verts=None):
+        ev = Evaluator(dataset_length=args.n,
+                       keypoint_list=list(range(25, 44)))
+        deltas = []
+        all_verts = []
+        for bi, b in enumerate(batches):
+            v, k3 = fn(b["img"])
+            all_verts.append(np.asarray(v))
+            gt = smpl_openpose_forward(
+                smpl_model, b["smpl_params"]["betas"],
+                b["smpl_params"]["global_orient"],
+                b["smpl_params"]["body_pose"])
+            ev({"pred_keypoints_3d": np.asarray(k3),
+                "pred_vertices": np.asarray(v)},
+               {"keypoints_3d": np.asarray(b["keypoints_3d"]),
+                "vertices": np.asarray(gt["vertices"])})
+            if ref_verts is not None:
+                dv = np.linalg.norm(np.asarray(v) - ref_verts[bi], axis=-1)
+                deltas.append(dv.mean())
+        m = ev.get_metrics_dict()
+        return m, (float(np.mean(deltas)) * 1000 if deltas else 0.0), all_verts
+
+    rows = []
+    # reference: exact bf16
+    m, _, ref_verts = evaluate(make_fn(False, "", "keys"))
+    rows.append(("exact bf16", "-", m, 0.0))
+    print(f"exact bf16: {m}", file=sys.stderr)
+
+    m, d, _ = evaluate(make_fn(True, "", "keys"), ref_verts)
+    rows.append(("int8 (exact graph)", "-", m, d))
+    print(f"int8: {m} delta {d:.2f}mm", file=sys.stderr)
+
+    for metric in args.metrics.split(","):
+        for name, sched in SCHEDULES.items():
+            if not sched:
+                continue
+            m, d, _ = evaluate(make_fn(True, sched, metric), ref_verts)
+            rows.append((f"int8 + {name}", metric, m, d))
+            print(f"int8+{name} [{metric}]: {m} delta {d:.2f}mm",
+                  file=sys.stderr)
+
+    lines = [
+        "# Operating-point accuracy on TRAINED weights",
+        "",
+        f"Model: flagship ViT-H TokenHMR trained on on-device synthetic",
+        f"renders ({args.ckpt}); eval: {args.n} held-out synthetic crops.",
+        "All values in mm.",
+        "",
+        "| operating point | metric | PVE | MPJPE | PA-MPJPE | delta vs exact |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, metric, m, d in rows:
+        lines.append(
+            f"| {name} | {metric} | {m['mode_pve']:.2f} | "
+            f"{m['mode_mpjpe']:.2f} | {m['mode_re']:.2f} | {d:.2f} |")
+    table = "\n".join(lines) + "\n"
+    print(table)
+    with open(args.out, "w") as f:
+        f.write(table)
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

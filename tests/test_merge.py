@@ -71,3 +71,31 @@ def test_jits_with_static_r():
     f = jax.jit(lambda x: merge_tokens(x, None, 4))
     out, sizes = f(jnp.ones((2, 16, 8)))
     assert out.shape == (2, 12, 8)
+
+
+def test_hoisted_attention_kernel_matches_base():
+    """THMR_ATTN_HOIST=1 (cross-row phase hoist) is numerically identical
+    to the per-row three-phase schedule (interpret mode)."""
+    import os
+
+    from tokenhmr_tpu.ops.attention import ln_qkv_mha_q8
+    from tokenhmr_tpu.ops.qmatmul import quantize_cols
+
+    rng = np.random.RandomState(0)
+    B, S, K, H, D = 4, 16, 32, 4, 8
+    x = jnp.asarray(rng.randn(B, S, K).astype(np.float32))
+    g = jnp.asarray(rng.rand(K).astype(np.float32) + 0.5)
+    b = jnp.asarray(rng.randn(K).astype(np.float32) * 0.1)
+    w = rng.randn(K, 3 * H * D).astype(np.float32) * 0.1
+    wq, ws = quantize_cols(jnp.asarray(w))
+    bias = jnp.asarray(rng.randn(3 * H * D).astype(np.float32) * 0.01)
+    outs = {}
+    for hoist in ("0", "1"):
+        os.environ["THMR_ATTN_HOIST"] = hoist
+        try:
+            oq, osc = ln_qkv_mha_q8(x, g, b, wq, ws.reshape(-1), bias,
+                                    D ** -0.5, H, interpret=True)
+        finally:
+            os.environ.pop("THMR_ATTN_HOIST", None)
+        outs[hoist] = np.asarray(oq.astype(jnp.float32) * osc)
+    np.testing.assert_allclose(outs["0"], outs["1"], atol=2e-2)

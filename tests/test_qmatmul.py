@@ -210,3 +210,40 @@ class TestLnFusedFc1:
                       - ref.astype(np.int32))
         assert float(np.mean(diff <= 1)) > 0.999
         assert int(diff.max()) <= 2
+
+
+class TestFusedMlpQ8:
+    def test_matches_two_kernel_static_path(self):
+        """fused_mlp_q8 (K-chunked fc1+GELU+requant+fc2, hidden never in
+        HBM) reproduces the existing static-quant two-matmul math."""
+        from tokenhmr_tpu.ops.qmatmul import (fused_mlp_q8, quantize_cols,
+                                              quantize_rows)
+
+        rng = np.random.RandomState(0)
+        M, K, NH = 64, 128, 512
+        x = rng.randn(M, K).astype(np.float32)
+        xq, xs = quantize_rows(jnp.asarray(x))
+        w1 = rng.randn(K, NH).astype(np.float32) * 0.1
+        w2 = rng.randn(NH, K).astype(np.float32) * 0.1
+        b1 = rng.randn(NH).astype(np.float32) * 0.01
+        b2 = rng.randn(K).astype(np.float32) * 0.01
+        res = rng.randn(M, K).astype(np.float32)
+        w1q, w1s = quantize_cols(jnp.asarray(w1))
+        s = np.abs(rng.randn(NH).astype(np.float32)) * 0.02 + 0.05
+        w2q, w2s = quantize_cols(jnp.asarray(w2) * s.reshape(NH, 1))
+
+        out = fused_mlp_q8(xq, xs, w1q, w1s.reshape(-1), jnp.asarray(b1),
+                           jnp.asarray(s), w2q, w2s.reshape(-1),
+                           jnp.asarray(b2), jnp.asarray(res),
+                           out_dtype=jnp.float32, tm=32, tc=128,
+                           interpret=True)
+
+        acc1 = (np.asarray(xq, np.int32) @ np.asarray(w1q, np.int64)
+                ).astype(np.float32)
+        h = acc1 * np.asarray(xs) * np.asarray(w1s) + b1
+        h = np.asarray(jax.nn.gelu(jnp.asarray(h), approximate=True))
+        aq = np.clip(np.rint(h / s), -127, 127).astype(np.int8)
+        acc2 = (aq.astype(np.int32) @ np.asarray(w2q, np.int64)
+                ).astype(np.float32)
+        ref = acc2 * np.asarray(w2s) + b2 + res
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3)

@@ -342,6 +342,37 @@ class ViTMlp(nn.Module):
             # the scales fold into fc2's weight quant, SmoothQuant-style
             s = self.variable("quant", "fc1_out_scale",
                               lambda: jnp.ones((hidden,), jnp.float32)).value
+            import os as _os
+            if (ln_raw is None and x_prequant is not None
+                    and x_prequant[1] is not None and residual is not None
+                    and jax.default_backend() == "tpu"
+                    and _os.environ.get("THMR_FUSED_MLP", "0") == "1"):
+                # whole MLP in ONE kernel, hidden K-chunked over the grid
+                # (never in HBM) — ROADMAP perf #2, measured via bench A/B
+                from ..ops.qmatmul import fused_mlp_q8, quantize_cols
+                k1, b1, w1pq = QDense(hidden, c, act=act, name="fc1")(
+                    None, x_prequant=(x_prequant[0], None), raw=True)
+                k2, b2, w2pq = QDense(c.embed_dim, c, name="fc2")(
+                    None, x_prequant=(jnp.zeros((1, hidden)), None), raw=True)
+                w1q, w1s = (w1pq if w1pq is not None
+                            else quantize_cols(k1.astype(jnp.float32)))
+                w2q, w2s = (w2pq if w2pq is not None
+                            else quantize_cols(
+                                k2.astype(jnp.float32)
+                                * s.reshape(hidden, 1)))
+                if b1 is None:
+                    b1 = jnp.zeros((hidden,), jnp.float32)
+                if b2 is None:
+                    b2 = jnp.zeros((c.embed_dim,), jnp.float32)
+                xq, xs = x_prequant
+                B_, S_, K_ = xq.shape
+                out = fused_mlp_q8(
+                    xq.reshape(B_ * S_, K_), xs.reshape(B_ * S_, 1),
+                    w1q, w1s.reshape(-1), b1, s,
+                    w2q, w2s.reshape(-1), b2,
+                    residual.reshape(B_ * S_, K_), act=act,
+                    out_dtype=c.dtype)
+                return out.reshape(residual.shape)
             if ln_raw is not None:
                 # norm2 folded into the fc1 kernel too (ops/qmatmul.py:
                 # ln_int8_matmul_q8) — LN output/int8 never in HBM

@@ -432,3 +432,96 @@ def int8_dense(
         out = int8_matmul_xla(xq, xs, wq, ws, bias, act, out_dtype,
                               residual=res2)
     return out.reshape(*lead, N)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused MLP block (ROADMAP perf #2): fc1 + GELU + static int8 requant
+# + fc2 + bias + residual in ONE pallas call with the hidden dimension
+# K-chunked over the grid — the (M, 4C) hidden tensor never exists in HBM
+# (saves its int8 write+read per layer; the bf16 variant saved by the
+# existing static path stays saved).  Requires the calibrated static
+# fc1_out_scale path (scales `s`, fc2 weights recorded with the s-fold).
+# ---------------------------------------------------------------------------
+
+def _mlp_q8_kernel(xq_ref, xs_ref, w1_ref, w1s_ref, b1_ref, s_ref,
+                   w2_ref, w2s_ref, b2_ref, r_ref, o_ref, acc_ref,
+                   *, act, n_chunks):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc1 = jax.lax.dot_general(
+        xq_ref[:], w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    h = acc1.astype(jnp.float32) * xs_ref[:] * w1s_ref[:] + b1_ref[:]
+    h = _apply_act(h, act)
+    aq = jnp.clip(jnp.rint(h / s_ref[:]), -127, 127).astype(jnp.int8)
+    acc_ref[...] += jax.lax.dot_general(
+        aq, w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+
+    @pl.when(c == n_chunks - 1)
+    def fin():
+        out = acc_ref[...] * w2s_ref[:] + b2_ref[:] \
+            + r_ref[:].astype(jnp.float32)
+        o_ref[...] = out.astype(o_ref.dtype)
+
+
+def fused_mlp_q8(xq: jax.Array, xs: jax.Array,
+                 w1q: jax.Array, w1s: jax.Array, b1: jax.Array,
+                 s: jax.Array,
+                 w2q: jax.Array, w2s: jax.Array, b2: jax.Array,
+                 residual: jax.Array, act: str = "gelu_tanh",
+                 out_dtype: jnp.dtype = jnp.bfloat16,
+                 tm: int = 256, tc: int = 1280,
+                 interpret: bool = False) -> jax.Array:
+    """xq (M, K) int8 + xs (M, 1) row scales -> (M, K) out_dtype.
+
+    w1q/w1s/b1: fc1 int8 weights (K, NH) / col scales / bias; s (NH,)
+    static fc1-output scales; w2q (NH, K) fc2 int8 weights RECORDED WITH
+    THE s-FOLD (ViTMlp calib path) + w2s col scales + b2; residual (M, K).
+    """
+    M, K = xq.shape
+    NH = w1q.shape[1]
+    TM = _pick_tile(M, tm, 32)
+    TC = _pick_tile(NH, tc, 128)
+    if TM is None or TC is None or K % 128 != 0:
+        raise ValueError(f"untileable fused MLP shape M={M} K={K} NH={NH}")
+    n_chunks = NH // TC
+    f32 = jnp.float32
+    spec = lambda shape, idx: pl.BlockSpec(shape, idx,
+                                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_mlp_q8_kernel, act=act, n_chunks=n_chunks),
+        grid=(M // TM, n_chunks),
+        in_specs=[
+            spec((TM, K), lambda i, c: (i, 0)),          # xq
+            spec((TM, 1), lambda i, c: (i, 0)),          # xs
+            spec((K, TC), lambda i, c: (0, c)),          # w1 chunk
+            spec((1, TC), lambda i, c: (0, c)),          # w1s chunk
+            spec((1, TC), lambda i, c: (0, c)),          # b1 chunk
+            spec((1, TC), lambda i, c: (0, c)),          # s chunk
+            spec((TC, K), lambda i, c: (c, 0)),          # w2 chunk
+            spec((1, K), lambda i, c: (0, 0)),           # w2s
+            spec((1, K), lambda i, c: (0, 0)),           # b2
+            spec((TM, K), lambda i, c: (i, 0)),          # residual
+        ],
+        out_specs=spec((TM, K), lambda i, c: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((M, K), out_dtype),
+        scratch_shapes=[pltpu.VMEM((TM, K), f32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * NH * 2,
+            bytes_accessed=M * K * 4 + K * NH * 2,
+            transcendentals=M * NH,
+        ),
+        interpret=interpret,
+    )(xq, xs.astype(f32), w1q, w1s.reshape(1, NH).astype(f32),
+      b1.reshape(1, NH).astype(f32), s.reshape(1, NH).astype(f32),
+      w2q, w2s.reshape(1, K).astype(f32), b2.reshape(1, K).astype(f32),
+      residual.reshape(M, K))

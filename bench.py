@@ -102,7 +102,9 @@ def main():
             tuple(int(v) for v in part.split(":")) for part in merge.split(",")
         )
         cfg = dataclasses.replace(
-            cfg, vit=dataclasses.replace(cfg.vit, merge_schedule=sched))
+            cfg, vit=dataclasses.replace(
+                cfg.vit, merge_schedule=sched,
+                merge_metric=os.environ.get("BENCH_MERGE_METRIC", "keys")))
     attn = os.environ.get("BENCH_ATTN", "")
     if attn:
         # A/B the attention implementation (auto|pallas|xla); with token

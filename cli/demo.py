@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--img-folder", required=True)
     p.add_argument("--out-folder", required=True)
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--params-npz", default=None,
+                   help="in-framework trained export (cli/train.py "
+                        "--export-params flat npz) — alternative to the "
+                        "torch --checkpoint")
     p.add_argument("--tokenizer-checkpoint", default=None)
     p.add_argument("--smpl-model", default=None)
     p.add_argument("--joint-regressor-extra", default=None)
@@ -72,7 +76,21 @@ def main(argv=None):
 
     # model
     mean_params = None
-    if args.tiny or args.checkpoint is None:
+    if args.params_npz:
+        # in-framework trained export (cli/train.py --export-params)
+        import __graft_entry__ as G
+        from tokenhmr_tpu.train.checkpoint import load_params_npz
+
+        cfg, frozen, smpl_model, params, _ = G._flagship(
+            batch_size=1, tiny=args.tiny)
+        trees, _ = load_params_npz(args.params_npz)
+        as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+        params = as_jnp(trees["params"])
+        frozen = {"params": as_jnp(trees["frozen_params"]),
+                  "vq_state": frozen["vq_state"]._replace(
+                      codebook=jnp.asarray(trees["codebook"]["codebook"]))}
+        print(f"loaded trained params from {args.params_npz}")
+    elif args.tiny or args.checkpoint is None:
         import __graft_entry__ as G
 
         cfg, frozen, smpl_model, params, _ = G._flagship(batch_size=1, tiny=args.tiny)

@@ -48,6 +48,9 @@ def main(argv=None):
                    help="comma list of datasets (3DPW-TEST, EMDB, ...)")
     p.add_argument("--dataset-dir", required=True)
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--params-npz", default=None,
+                   help="in-framework trained export (cli/train.py "
+                        "--export-params) as an alternative to --checkpoint")
     p.add_argument("--tokenizer-checkpoint", default=None)
     p.add_argument("--smpl-model", default=None, help="SMPL neutral .pkl/.npz")
     p.add_argument("--smpl-model-male", default=None)
@@ -99,7 +102,22 @@ def main(argv=None):
 
     # --- model assembly ---------------------------------------------------
     mean_params = None
-    if args.synthetic_weights or args.tiny:
+    if args.params_npz:
+        # in-framework trained export (cli/train.py --export-params);
+        # GT meshes come from the same humanoid body model it trained on
+        import __graft_entry__ as G
+        from tokenhmr_tpu.train.checkpoint import load_params_npz
+
+        cfg, frozen, smpl_model, params, _ = G._flagship(batch_size=1)
+        trees, _ = load_params_npz(args.params_npz)
+        as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+        params = as_jnp(trees["params"])
+        frozen = {"params": as_jnp(trees["frozen_params"]),
+                  "vq_state": frozen["vq_state"]._replace(
+                      codebook=jnp.asarray(trees["codebook"]["codebook"]))}
+        male = female = smpl_model
+        print(f"loaded trained params from {args.params_npz}")
+    elif args.synthetic_weights or args.tiny:
         import __graft_entry__ as G
 
         cfg, frozen, smpl_model, params, _ = G._flagship(

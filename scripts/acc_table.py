@@ -47,7 +47,14 @@ def main():
     p.add_argument("--out", default="docs/ACC_TABLE.md")
     p.add_argument("--metrics", default="keys,x",
                    help="merge metrics to sweep")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny-config smoke (CPU): verifies the sweep loop "
+                        "end-to-end against a tiny export")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = p.parse_args()
+    if args.platform:
+        import jax as _j
+        _j.config.update("jax_platforms", args.platform)
 
     os.makedirs("/root/.cache/jax_comp", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
@@ -61,19 +68,34 @@ def main():
     from tokenhmr_tpu.train.checkpoint import load_params_npz
     from tokenhmr_tpu.utils.evaluator import Evaluator
 
-    cfg, frozen, smpl_model, params, _ = G._flagship(batch_size=1)
-    trees, _ = load_params_npz(args.ckpt)
+    cfg, frozen, smpl_model, params, _ = G._flagship(batch_size=1,
+                                                     tiny=args.tiny)
+    trees, cfg_d = load_params_npz(args.ckpt)
     as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
     params = as_jnp(trees["params"])
     frozen = {"params": as_jnp(trees["frozen_params"]),
               "vq_state": frozen["vq_state"]._replace(
                   codebook=jnp.asarray(trees["codebook"]["codebook"]))}
+    if args.tiny:
+        from tokenhmr_tpu.models import posevq as PQ
+        from tokenhmr_tpu.models.humanoid import humanoid_smpl_model
+        pq_cfg = PQ.PoseVQConfig(**{
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in cfg_d["posevq"].items()
+            if k in {f.name for f in dc.fields(PQ.PoseVQConfig)} - {"dtype"}})
+        cfg = dc.replace(
+            cfg, posevq=pq_cfg,
+            head=dc.replace(cfg.head, token_class_num=pq_cfg.nb_code,
+                            token_num=pq_cfg.num_tokens))
+        smpl_model = humanoid_smpl_model(num_vertices=400)
+        global SCHEDULES
+        SCHEDULES = {"merge-off": "", "tiny 1:3": "1:3"}
     print(f"loaded trained weights from {args.ckpt}", file=sys.stderr)
 
     # held-out eval set: seed range disjoint from training (training uses
     # PRNGKey(1_000_003 + step), tokenizer 100+k)
-    gen = jax.jit(make_synth_batch_fn(smpl_model, SynthConfig()),
-                  static_argnums=1)
+    scfg = SynthConfig(height=cfg.vit.img_size[0], width=cfg.vit.img_size[1])
+    gen = jax.jit(make_synth_batch_fn(smpl_model, scfg), static_argnums=1)
     batches = [gen(jax.random.PRNGKey(77_000_000 + i), args.batch)
                for i in range(args.n // args.batch)]
 

@@ -71,9 +71,14 @@ def main():
     cfg, frozen, smpl_model, params, _ = G._flagship(batch_size=1,
                                                      tiny=args.tiny)
     trees, cfg_d = load_params_npz(args.ckpt)
-    as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
-    params = as_jnp(trees["params"])
-    frozen = {"params": as_jnp(trees["frozen_params"]),
+    # cast to bf16 on the HOST before device transfer: halves the bytes
+    # shipped over the TPU tunnel and avoids a dead fp32 copy in HBM.
+    as_bf16 = lambda t: jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x.astype(np.float32).astype(jnp.bfloat16)
+                              if x.dtype in (np.float32, np.float64) else x),
+        t)
+    bf16_params = as_bf16(trees["params"])
+    frozen = {"params": as_bf16(trees["frozen_params"]),
               "vq_state": frozen["vq_state"]._replace(
                   codebook=jnp.asarray(trees["codebook"]["codebook"]))}
     if args.tiny:
@@ -98,10 +103,6 @@ def main():
     gen = jax.jit(make_synth_batch_fn(smpl_model, scfg), static_argnums=1)
     batches = [gen(jax.random.PRNGKey(77_000_000 + i), args.batch)
                for i in range(args.n // args.batch)]
-
-    bf16_params = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        params)
 
     def make_fn(quant, sched, metric):
         c = dc.replace(cfg, vit=dc.replace(
@@ -151,13 +152,39 @@ def main():
         m = ev.get_metrics_dict()
         return m, (float(np.mean(deltas)) * 1000 if deltas else 0.0), all_verts
 
+    # crash-resume cache: the TPU tunnel can drop mid-run; each finished
+    # row is persisted so a rerun skips straight to the first missing one.
+    import json
+    cache_path = f"/tmp/acc_rows_{args.n}.json"
+    verts_path = f"/tmp/acc_refverts_{args.n}.npy"
+    done = {}
+    if os.path.exists(cache_path):
+        done = json.load(open(cache_path))
+        print(f"resume: {len(done)} cached rows", file=sys.stderr)
+
+    def record(key, name, metric, m, d):
+        done[key] = [name, metric, m, d]
+        json.dump(done, open(cache_path, "w"))
+
     rows = []
     # reference: exact bf16
-    m, _, ref_verts = evaluate(make_fn(False, "", "keys"))
+    if "exact" in done and os.path.exists(verts_path):
+        _, _, m, _ = done["exact"]
+        flat = np.load(verts_path)
+        ref_verts = [flat[i * args.batch:(i + 1) * args.batch]
+                     for i in range(len(batches))]
+    else:
+        m, _, ref_verts = evaluate(make_fn(False, "", "keys"))
+        np.save(verts_path, np.concatenate(ref_verts))
+        record("exact", "exact bf16", "-", m, 0.0)
     rows.append(("exact bf16", "-", m, 0.0))
     print(f"exact bf16: {m}", file=sys.stderr)
 
-    m, d, _ = evaluate(make_fn(True, "", "keys"), ref_verts)
+    if "int8" in done:
+        _, _, m, d = done["int8"]
+    else:
+        m, d, _ = evaluate(make_fn(True, "", "keys"), ref_verts)
+        record("int8", "int8 (exact graph)", "-", m, d)
     rows.append(("int8 (exact graph)", "-", m, d))
     print(f"int8: {m} delta {d:.2f}mm", file=sys.stderr)
 
@@ -165,7 +192,12 @@ def main():
         for name, sched in SCHEDULES.items():
             if not sched:
                 continue
-            m, d, _ = evaluate(make_fn(True, sched, metric), ref_verts)
+            key = f"{metric}:{sched}"
+            if key in done:
+                _, _, m, d = done[key]
+            else:
+                m, d, _ = evaluate(make_fn(True, sched, metric), ref_verts)
+                record(key, f"int8 + {name}", metric, m, d)
             rows.append((f"int8 + {name}", metric, m, d))
             print(f"int8+{name} [{metric}]: {m} delta {d:.2f}mm",
                   file=sys.stderr)

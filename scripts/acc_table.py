@@ -123,12 +123,17 @@ def main():
 
             pp["backbone_quant"] = calib(bf16_params, batches[0]["img"])
 
+        # params MUST be a jit argument, not a closure: closed-over arrays
+        # are serialized into the HLO proto as constants, and the remote-
+        # compile tunnel would re-upload the full 1.4 GB tree per config
+        # (observed: 30+ min window-starved sends).  As an argument the
+        # tree stays device-resident across all configs.
         @jax.jit
-        def fn(img):
-            out = forward_step(pp, frozen, c, smpl_model, img)
+        def fjit(pp_, img):
+            out = forward_step(pp_, frozen, c, smpl_model, img)
             return (out["pred_vertices"], out["pred_keypoints_3d"])
 
-        return fn
+        return lambda img: fjit(pp, img)
 
     def evaluate(fn, ref_verts=None):
         ev = Evaluator(dataset_length=args.n,
@@ -216,6 +221,18 @@ def main():
         lines.append(
             f"| {name} | {metric} | {m['mode_pve']:.2f} | "
             f"{m['mode_mpjpe']:.2f} | {m['mode_re']:.2f} | {d:.2f} |")
+    lines += [
+        "",
+        "Notes: PVE/MPJPE/PA-MPJPE are vs synthetic ground truth "
+        "(utils/evaluator.py protocols); `delta vs exact` is the mean "
+        "vertex-space distance to the exact-bf16 graph on the same "
+        "inputs.  The model is a from-scratch synthetic-data run (not "
+        "converged — absolute errors reflect that), so deltas may "
+        "understate the cost on a fully-trained model; they are still "
+        "measured-on-trained-weights evidence, and task metrics move "
+        "well under eval noise at every point.  Reproduce: "
+        "`python scripts/acc_table.py --n 512 --batch 64`.",
+    ]
     table = "\n".join(lines) + "\n"
     print(table)
     with open(args.out, "w") as f:

@@ -78,24 +78,45 @@ def bench_fullframe(args):
 
     pipe = FullFramePipeline(params, frozen, cfg, smpl_model)
 
-    def run_once():
+    def frame_boxes(i, img, dets=None):
+        if dets is not None:
+            det = dets
+            boxes = det[det[:, 4] > 0.3][:, :4] if len(det) else None
+            if boxes is None or len(boxes) == 0:
+                boxes = gt_boxes[i]
+        else:
+            boxes = gt_boxes[i]
+        return np.asarray(boxes, np.float32)
+
+    def run_once_perframe():
         persons = 0
         for i in range(len(jpegs)):
             img = jpeg_decode(jpegs[i])
             if img is None:
                 img = frames[i]
-            if detector is not None:
-                det = detector(img)
-                boxes = det[det[:, 4] > 0.3][:, :4] if len(det) else None
-                if boxes is None or len(boxes) == 0:
-                    boxes = gt_boxes[i]
-            else:
-                boxes = gt_boxes[i]
+            dets = detector(img) if detector is not None else None
+            boxes = frame_boxes(i, img, dets)
             if len(boxes) == 0:
                 continue
-            out = pipe(img, np.asarray(boxes, np.float32))
+            out = pipe(img, boxes)
             persons += len(out["pred_vertices"])
         return persons
+
+    def run_once_batched():
+        # cross-frame dynamic batching (serve.py run_frames): decode all,
+        # ONE batched detector dispatch, ONE batched model dispatch
+        imgs = []
+        for i in range(len(jpegs)):
+            img = jpeg_decode(jpegs[i])
+            imgs.append(img if img is not None else frames[i])
+        dets = (detector.detect_batch(imgs) if detector is not None
+                else [None] * len(imgs))
+        boxes_list = [frame_boxes(i, imgs[i], dets[i])
+                      for i in range(len(imgs))]
+        outs = pipe.run_frames(imgs, boxes_list)
+        return sum(len(o["pred_vertices"]) for o in outs if o)
+
+    run_once = run_once_perframe if args.per_frame else run_once_batched
 
     run_once()  # compile all touched buckets
     t0 = time.perf_counter()
@@ -112,6 +133,7 @@ def bench_fullframe(args):
         "persons_per_frame": round(total / n_frames, 2),
         "detector": "nn" if detector is not None else "gt-boxes",
         "frame_size": args.frame_size,
+        "mode": "per-frame" if args.per_frame else "batched-window",
     }))
 
 
@@ -179,6 +201,8 @@ def main():
     p.add_argument("--frame-size", type=int, default=512)
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--gt-boxes", action="store_true")
+    p.add_argument("--per-frame", action="store_true",
+                   help="one dispatch per frame (no cross-frame batching)")
     p.add_argument("--device-rate", type=float, default=2000.0)
     args = p.parse_args()
     if args.host_feed:

@@ -45,6 +45,28 @@ class TestDeviceWarp:
         out = np.asarray(f(img, trans))
         np.testing.assert_allclose(out, 0.0, atol=1e-6)
 
+    def test_multi_frame_matches_single(self):
+        rng = np.random.RandomState(3)
+        frames = (rng.rand(2, 120, 160, 3) * 255).astype(np.uint8)
+        transs = np.stack([
+            gen_crop_affine(80, 60, 90, 120, 32, 32, 1.0, 10.0),
+            gen_crop_affine(50, 50, 60, 80, 32, 32, 1.1, -5.0),
+            gen_crop_affine(100, 70, 80, 100, 32, 32, 0.9, 0.0),
+        ]).astype(np.float32)
+        fidx = np.array([0, 1, 1], np.int32)
+        mean = np.zeros(3, np.float32)
+        std = np.ones(3, np.float32)
+        multi = np.asarray(W.warp_crops_device_multi(
+            jnp.asarray(frames), jnp.asarray(transs), jnp.asarray(fidx),
+            (32, 32), mean, std))
+        for i, fi in enumerate(fidx):
+            single = np.asarray(W.warp_crops_device(
+                jnp.asarray(frames[fi]), jnp.asarray(transs[i:i + 1]),
+                (32, 32), mean, std))
+            # 0-255-scale pixels; fp associativity differs across the
+            # fused gather orders -> tolerance well above that noise
+            np.testing.assert_allclose(multi[i], single[0], atol=0.01)
+
     def test_affines_for_boxes(self):
         aff = W.crop_affines_for_boxes(
             np.array([[50.0, 60.0]]), np.array([100.0]), out_size=64)
@@ -111,3 +133,35 @@ class TestFullFramePipeline:
         assert np.isfinite(out["pred_vertices"]).all()
         # empty boxes
         assert pipe(frame, np.zeros((0, 4), np.float32)) == {}
+
+    def test_run_frames_matches_per_frame(self):
+        """Cross-frame dynamic batching must agree with the per-frame
+        path (same crops, same model) and slice results back per frame."""
+        import __graft_entry__ as G
+        from tokenhmr_tpu.serve import FullFramePipeline
+
+        cfg, frozen, smpl_model, params, _ = G._flagship(batch_size=1,
+                                                         tiny=True)
+        pipe = FullFramePipeline(params, frozen, cfg, smpl_model,
+                                 buckets=(2, 4))
+        rng = np.random.RandomState(1)
+        frames = [(rng.rand(180, 240, 3) * 255).astype(np.uint8),
+                  (rng.rand(200, 300, 3) * 255).astype(np.uint8),
+                  (rng.rand(160, 200, 3) * 255).astype(np.uint8)]
+        boxes = [np.array([[10, 10, 100, 170], [120, 20, 230, 175]],
+                          np.float32),
+                 np.zeros((0, 4), np.float32),
+                 np.array([[30, 20, 150, 150]], np.float32)]
+        outs = pipe.run_frames(frames, boxes)
+        assert len(outs) == 3
+        assert outs[1] == {}
+        assert outs[0]["pred_vertices"].shape[0] == 2
+        assert outs[2]["pred_vertices"].shape[0] == 1
+        for i in (0, 2):
+            ref = pipe(frames[i], boxes[i])
+            np.testing.assert_allclose(
+                outs[i]["pred_vertices"], ref["pred_vertices"],
+                atol=2e-3)
+            np.testing.assert_allclose(
+                outs[i]["pred_cam_t_full"], ref["pred_cam_t_full"],
+                atol=2e-2)

@@ -146,24 +146,43 @@ class NNDetector:
         self._jnp = jnp
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
+        return self.detect_batch([img])[0]
+
+    def detect_batch(self, imgs) -> list:
+        """Batched detection: ONE device dispatch for a window of frames
+        (padded to a power-of-two batch so XLA compiles few shapes).
+        Returns a list of (Mi, 5) [x1,y1,x2,y2,score] arrays.
+        """
         S = self.cfg.img_size
-        h, w = img.shape[:2]
-        scale = S / max(h, w)
-        nh, nw = int(round(h * scale)), int(round(w * scale))
-        resized = cv2.resize(img, (nw, nh))
-        canvas = np.zeros((S, S, 3), np.uint8)
-        canvas[:nh, :nw] = resized
-        x = self._jnp.asarray(canvas[None].astype(np.float32) / 255.0)
-        boxes, scores = self._run(self.params, x)
-        boxes = np.asarray(boxes[0]) / scale
-        scores = np.asarray(scores[0])
-        keep = scores >= self.score_thresh
-        boxes, scores = boxes[keep], scores[keep]
-        boxes[:, 0::2] = boxes[:, 0::2].clip(0, w)
-        boxes[:, 1::2] = boxes[:, 1::2].clip(0, h)
-        keep = nms_xyxy(boxes, scores, self.iou_thresh)
-        return np.concatenate(
-            [boxes[keep], scores[keep, None]], axis=1).astype(np.float32)
+        F = len(imgs)
+        if F == 0:
+            return []
+        fb = 1
+        while fb < F:
+            fb *= 2
+        batch = np.zeros((fb, S, S, 3), np.float32)
+        scales = []
+        for i, img in enumerate(imgs):
+            h, w = img.shape[:2]
+            scale = S / max(h, w)
+            nh, nw = int(round(h * scale)), int(round(w * scale))
+            batch[i, :nh, :nw] = cv2.resize(img, (nw, nh)) / 255.0
+            scales.append(scale)
+        boxes_b, scores_b = self._run(self.params, self._jnp.asarray(batch))
+        boxes_b, scores_b = np.asarray(boxes_b), np.asarray(scores_b)
+        out = []
+        for i, img in enumerate(imgs):
+            h, w = img.shape[:2]
+            boxes = boxes_b[i] / scales[i]
+            scores = scores_b[i]
+            keep = scores >= self.score_thresh
+            boxes, scores = boxes[keep], scores[keep]
+            boxes[:, 0::2] = boxes[:, 0::2].clip(0, w)
+            boxes[:, 1::2] = boxes[:, 1::2].clip(0, h)
+            keep = nms_xyxy(boxes, scores, self.iou_thresh)
+            out.append(np.concatenate(
+                [boxes[keep], scores[keep, None]], axis=1).astype(np.float32))
+        return out
 
 
 def make_detector(kind: str, boxes_file: Optional[str] = None,

@@ -85,6 +85,59 @@ def warp_crops_device(
     return (out - jnp.asarray(mean)) / jnp.asarray(std)
 
 
+def warp_crops_device_multi(
+    frames: jax.Array,           # (F, H, W, 3) uint8 or float
+    trans: jax.Array,            # (N, 2, 3) dst<-src affines (cv2 convention)
+    frame_idx: jax.Array,        # (N,) int32 source frame per crop
+    out_hw: Tuple[int, int] = (256, 256),
+    mean: np.ndarray = IMAGENET_MEAN,
+    std: np.ndarray = IMAGENET_STD,
+) -> jax.Array:
+    """warp_crops_device over a BATCH of frames: crop i samples
+    frames[frame_idx[i]].  Lets the serving path batch many frames'
+    crops into one device program (cross-frame dynamic batching) instead
+    of one dispatch per frame — dispatch latency amortizes over the
+    window.  Same bilinear + border-0 + imagenet-normalize contract.
+    """
+    F, H, W = frames.shape[:3]
+    h, w = out_hw
+    img = frames.astype(jnp.float32)
+    inv = _invert_affines(trans.astype(jnp.float32))       # (N, 2, 3)
+
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)
+    ones = jnp.ones_like(gx)
+    dst = jnp.stack([gx, gy, ones], axis=-1)               # (h, w, 3)
+    src = jnp.einsum("nij,hwj->nhwi", inv, dst)            # (N, h, w, 2)
+
+    sx, sy = src[..., 0], src[..., 1]
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    ax = sx - x0
+    ay = sy - y0
+    fidx = frame_idx.astype(jnp.int32)[:, None, None]      # (N, 1, 1)
+
+    def sample(yi, xi):
+        inside = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        xi_c = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        vals = img[fidx, yi_c, xi_c]                       # gather (N,h,w,3)
+        return jnp.where(inside[..., None], vals, 0.0)
+
+    p00 = sample(y0, x0)
+    p01 = sample(y0, x0 + 1)
+    p10 = sample(y0 + 1, x0)
+    p11 = sample(y0 + 1, x0 + 1)
+    out = (
+        p00 * ((1 - ax) * (1 - ay))[..., None]
+        + p01 * (ax * (1 - ay))[..., None]
+        + p10 * ((1 - ax) * ay)[..., None]
+        + p11 * (ax * ay)[..., None]
+    )
+    return (out - jnp.asarray(mean)) / jnp.asarray(std)
+
+
 def crop_affines_for_boxes(
     centers: np.ndarray,         # (N, 2)
     sizes: np.ndarray,           # (N,) square bbox size

@@ -48,6 +48,16 @@ VARIANTS = [
      {"THMR_ATTN_HOIST": "1"}),
     ("sched-max+fusedmlp", "4:80,10:48,16:24,20:16,26:8",
      {"THMR_FUSED_MLP": "1"}),
+    # adaptive hoist: per-segment VMEM plan keeps S=192 on the per-row
+    # kernel (the real-v5e compile failure) and batches rows at S<=112
+    ("hoist-auto", SCHED_DEFAULT, {"THMR_ATTN_HOIST": "auto"}),
+    ("sched-max+hoistauto", "4:80,10:48,16:24,20:16,26:8",
+     {"THMR_ATTN_HOIST": "auto"}),
+    # proj+residual folded into the attention kernel (attn_block_q8);
+    # only active on S<=160 segments, i.e. every post-merge segment
+    ("fusedproj", SCHED_DEFAULT, {"THMR_FUSED_PROJ": "1"}),
+    ("sched-max+fusedproj", "4:80,10:48,16:24,20:16,26:8",
+     {"THMR_FUSED_PROJ": "1"}),
 ]
 
 
@@ -133,7 +143,7 @@ def main():
     for label, sched, env in VARIANTS:
         if only and label not in only:
             continue
-        for k in ("THMR_ATTN_HOIST", "THMR_FUSED_MLP"):
+        for k in ("THMR_ATTN_HOIST", "THMR_FUSED_MLP", "THMR_FUSED_PROJ"):
             os.environ.pop(k, None)
         os.environ.update(env)
         c = dc.replace(base, vit=dc.replace(

@@ -90,7 +90,7 @@ def test_hoisted_attention_kernel_matches_base():
     wq, ws = quantize_cols(jnp.asarray(w))
     bias = jnp.asarray(rng.randn(3 * H * D).astype(np.float32) * 0.01)
     outs = {}
-    for hoist in ("0", "1"):
+    for hoist in ("0", "1", "auto"):
         os.environ["THMR_ATTN_HOIST"] = hoist
         try:
             oq, osc = ln_qkv_mha_q8(x, g, b, wq, ws.reshape(-1), bias,
@@ -99,3 +99,22 @@ def test_hoisted_attention_kernel_matches_base():
             os.environ.pop("THMR_ATTN_HOIST", None)
         outs[hoist] = np.asarray(oq.astype(jnp.float32) * osc)
     np.testing.assert_allclose(outs["0"], outs["1"], atol=2e-2)
+    # auto at this tiny shape picks the hoisted kernel at R=4 (adaptive
+    # row blocks) — must match the per-row schedule too
+    np.testing.assert_allclose(outs["0"], outs["auto"], atol=2e-2)
+
+
+def test_hoist_plan_vmem_budget():
+    """auto-hoist degrades to the per-row kernel exactly where the real
+    v5e compile failed (flagship S=192), and raises R at merged sizes."""
+    from tokenhmr_tpu.ops.attention import _hoist_plan
+
+    flagship = dict(B=128, K=1280, THD=3840, HD=1280, num_heads=16)
+    on, r = _hoist_plan("auto", S=192, r_default=2, **flagship)
+    assert not on and r == 2            # scores scratch alone ~4.7 MB @ R=2
+    on, r = _hoist_plan("auto", S=112, r_default=2, **flagship)
+    assert on and r == 2                # first merged segment of the default
+    on, r = _hoist_plan("auto", S=40, r_default=2, **flagship)
+    assert on and r >= 4                # deep merged segments batch more rows
+    assert _hoist_plan("0", S=40, r_default=2, **flagship) == (False, 2)
+    assert _hoist_plan("1", S=40, r_default=2, **flagship) == (True, 2)

@@ -28,13 +28,9 @@ def _free_port():
     return port
 
 
-@pytest.mark.slow
-def test_two_process_train_smoke(tmp_path):
+def _run_two_process(out, env):
     port = _free_port()
-    out = tmp_path / "mh"
     procs = []
-    env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)
     for pid in range(2):
         cmd = [
             sys.executable, "-m", "cli.train",
@@ -58,6 +54,21 @@ def test_two_process_train_smoke(tmp_path):
                 q.kill()
             raise
         outs.append(o)
+    return procs, outs
+
+
+@pytest.mark.slow
+def test_two_process_train_smoke(tmp_path):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    # the gloo rendezvous between two CPU-bound processes can time out on
+    # a loaded 1-core host (observed flaking mid-suite, passing alone) —
+    # retry once with a fresh port and output dir before failing
+    for attempt in range(2):
+        out = tmp_path / f"mh{attempt}"
+        procs, outs = _run_two_process(out, env)
+        if all(p.returncode == 0 for p in procs) or attempt == 1:
+            break
     for pid, (p, o) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{o[-4000:]}"
 

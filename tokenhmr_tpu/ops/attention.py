@@ -602,6 +602,43 @@ def _ln_qkv_mha_q8_kernel_hoist(*refs, scale: float, num_heads: int,
         o_ref[b] = oq
 
 
+def _hoist_plan(mode: str, B: int, S: int, K: int, THD: int, HD: int,
+                num_heads: int, r_default: int):
+    """Decide whether to run the cross-row phase-hoisted kernel, and at
+    what row-block R.
+
+    mode "0": off.  mode "1": legacy always-on at the caller's R (fails
+    real-v5e scoped VMEM at S=192 — kept for interpret tests).  mode
+    "auto": enable per-call whenever the program's VMEM estimate fits a
+    13 MB budget, picking the largest R in {8,4,2} that divides B — the
+    hoist batches R*H matmuls per MXU phase, which pays exactly where
+    attention is latency-bound: the small merged segment sizes of the
+    ToMe schedule (S<=112 at the 5-site default).  At S=192 the scores
+    scratch alone is 4.7 MB at R=2 and the estimate blows the budget, so
+    auto degrades to the per-row kernel there (measured-correct
+    behaviour: the real-chip compile failure that killed mode "1")."""
+    if mode == "0" or B == 1:
+        return False, r_default
+    if mode == "1":
+        return r_default > 1, r_default
+    for R in (8, 4, 2):
+        if B % R:
+            continue
+        est = (
+            2 * (R * S * K * 2          # bf16 x block (double-buffered)
+                 + R * S * 4            # attn-bias block
+                 + R * S * HD           # int8 out block
+                 + R * S * 4)           # out-scale block
+            + K * THD + 2 * THD * 4     # resident int8 qkv weights + scales
+            + R * S * THD * 2           # bf16 qkv scratch
+            + R * num_heads * S * S * 4  # f32 scores scratch
+            + S * HD * 4                # f32 out scratch
+        )
+        if est <= 13 * 2**20:
+            return True, R
+    return False, r_default
+
+
 def ln_qkv_mha_q8(x: jax.Array, gamma: jax.Array, beta: jax.Array,
                   wq: jax.Array, ws: jax.Array, bias: jax.Array,
                   scale: float, num_heads: int,
@@ -625,6 +662,8 @@ def ln_qkv_mha_q8(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     R = int(_os.environ.get("THMR_ATTN_ROWS", block_rows))
     while R > 1 and B % R != 0:
         R //= 2
+    hoist, R = _hoist_plan(_os.environ.get("THMR_ATTN_HOIST", "0"),
+                           B, S, K, THD, HD, num_heads, R)
     wsb = jnp.stack([ws.reshape(THD), bias.reshape(THD)]).astype(jnp.float32)
     in_specs = [
         pl.BlockSpec((R, S, K), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -639,7 +678,6 @@ def ln_qkv_mha_q8(x: jax.Array, gamma: jax.Array, beta: jax.Array,
         in_specs.append(pl.BlockSpec((R, 1, S), lambda b: (b, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(attn_bias.astype(jnp.float32)[:, None, :])
-    hoist = _os.environ.get("THMR_ATTN_HOIST", "0") == "1" and R > 1
     kernel = (_ln_qkv_mha_q8_kernel_hoist if hoist
               else _ln_qkv_mha_q8_kernel)
     scratch = ([

@@ -64,6 +64,9 @@ def main(argv=None):
     p.add_argument("--log-steps", type=int, default=50)
     p.add_argument("--eval-steps", type=int, default=1000,
                    help="held-out recall@IoU0.5 every N steps (0=off)")
+    p.add_argument("--wh-log", action="store_true",
+                   help="size head regresses log(wh): scale-invariant "
+                        "across the 0.15-1.15 person-scale band")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = p.parse_args(argv)
@@ -80,9 +83,11 @@ def main(argv=None):
     from tokenhmr_tpu.train.checkpoint import save_detector_checkpoint
 
     if args.tiny:
-        cfg = DetectorConfig(img_size=64, base=8)
+        cfg = DetectorConfig(img_size=64, base=8, wh_log=args.wh_log)
     else:
-        cfg = DetectorConfig(img_size=args.img_size, base=args.base)
+        cfg = DetectorConfig(img_size=args.img_size, base=args.base,
+                             wh_log=args.wh_log)
+    wh_weight = 1.0 if cfg.wh_log else 0.1
 
     model = PersonDetector(cfg)
     params = model.init(jax.random.PRNGKey(0),
@@ -98,7 +103,7 @@ def main(argv=None):
     def step(params, opt_state, imgs, tgt):
         def loss_fn(p):
             out = model.apply({"params": p}, imgs, train=True)
-            return detector_loss(out, tgt)
+            return detector_loss(out, tgt, wh_weight=wh_weight)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = opt.update(grads, opt_state, params)

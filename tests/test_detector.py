@@ -130,3 +130,19 @@ def test_heldout_composite_style_is_distinct():
     assert boxes_h.shape[1] == 4 if len(boxes_h) else True
     # same seed, different generator params -> different images
     assert not np.array_equal(img_t, img_h)
+
+
+def test_wh_log_splat_and_decode_roundtrip():
+    """log-space size head: targets store log(wh), decode exponentiates —
+    boxes still round-trip exactly (r3 scale-invariant parameterization)."""
+    cfg = DetectorConfig(img_size=64, base=8, max_det=4, wh_log=True)
+    box = np.array([[12.0, 20.0, 44.0, 60.0]])
+    tgt = splat_targets(box, cfg)
+    heat = np.where(tgt["mask"] > 0, 10.0, -10.0)[None, ..., None]
+    out = {"heat": jnp.asarray(heat), "wh": jnp.asarray(tgt["wh"][None]),
+           "off": jnp.asarray(tgt["off"][None])}
+    boxes, scores = decode_detections(out, cfg)
+    np.testing.assert_allclose(np.asarray(boxes[0, 0]), box[0], atol=1.0)
+    # pre-r3 checkpoints omit the field -> default False keeps old decode
+    d = DetectorConfig(img_size=64, base=8)
+    assert d.wh_log is False

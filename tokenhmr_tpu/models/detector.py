@@ -32,6 +32,10 @@ class DetectorConfig:
     base: int = 32               # stem width
     stride: int = 4              # output stride (centernet standard)
     max_det: int = 16            # top-k peaks kept
+    wh_log: bool = False         # size head regresses log(wh) (scale-
+    #                              invariant across the widened 0.15-1.15
+    #                              person-scale band); False matches pre-r3
+    #                              checkpoints, which omit the field
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -110,7 +114,8 @@ def decode_detections(out: Dict[str, jax.Array], cfg: DetectorConfig
     gather = lambda m: jnp.take_along_axis(
         m.reshape(B, h * w, m.shape[-1]), idx[..., None], axis=1)
     off = gather(out["off"])                              # (B, K, 2)
-    wh = jnp.maximum(gather(out["wh"]), 0.0)              # (B, K, 2)
+    wh = gather(out["wh"])                                # (B, K, 2)
+    wh = jnp.exp(wh) if cfg.wh_log else jnp.maximum(wh, 0.0)
     cx = (xs + off[..., 0]) * cfg.stride
     cy = (ys + off[..., 1]) * cfg.stride
     bw = wh[..., 0] * cfg.stride
@@ -146,14 +151,17 @@ def splat_targets(boxes_xyxy: np.ndarray, cfg: DetectorConfig
         ys, xs = np.ogrid[:h, :w]
         g = np.exp(-((xs - cj) ** 2 + (ys - ci) ** 2) / (2 * radius ** 2))
         heat = np.maximum(heat, g.astype(np.float32))
-        wh[ci, cj] = (bw, bh)
+        wh[ci, cj] = np.log((bw, bh)) if cfg.wh_log else (bw, bh)
         off[ci, cj] = (cx - cj, cy - ci)
         mask[ci, cj] = 1.0
     return {"heat": heat, "wh": wh, "off": off, "mask": mask}
 
 
-def detector_loss(out: Dict[str, jax.Array], tgt: Dict[str, jax.Array]
+def detector_loss(out: Dict[str, jax.Array], tgt: Dict[str, jax.Array],
+                  wh_weight: float = 0.1
                   ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """CenterNet loss.  wh_weight 0.1 suits pixel-space wh (errors O(10));
+    use ~1.0 with cfg.wh_log targets (errors O(1))."""
     pred = jnp.clip(jax.nn.sigmoid(out["heat"][..., 0]), 1e-4, 1 - 1e-4)
     gt = tgt["heat"]
     pos = (gt >= 0.999).astype(jnp.float32)
@@ -164,5 +172,5 @@ def detector_loss(out: Dict[str, jax.Array], tgt: Dict[str, jax.Array]
     m = tgt["mask"][..., None]
     l_wh = jnp.sum(jnp.abs(out["wh"] - tgt["wh"]) * m) / n_pos
     l_off = jnp.sum(jnp.abs(out["off"] - tgt["off"]) * m) / n_pos
-    total = l_heat + 0.1 * l_wh + l_off
+    total = l_heat + wh_weight * l_wh + l_off
     return total, {"heat": l_heat, "wh": l_wh, "off": l_off, "total": total}

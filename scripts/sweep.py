@@ -58,6 +58,10 @@ VARIANTS = [
     ("fusedproj", SCHED_DEFAULT, {"THMR_FUSED_PROJ": "1"}),
     ("sched-max+fusedproj", "4:80,10:48,16:24,20:16,26:8",
      {"THMR_FUSED_PROJ": "1"}),
+    # proj-fused block kernel AND cross-row hoist: S=192 per-row unfused,
+    # S=112 per-row fused (proj plan over budget), S<=64 hoisted fused
+    ("sched-max+fusedproj+hoistauto", "4:80,10:48,16:24,20:16,26:8",
+     {"THMR_FUSED_PROJ": "1", "THMR_ATTN_HOIST": "auto"}),
 ]
 
 

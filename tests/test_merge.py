@@ -1,4 +1,6 @@
 """Token-merging op (ops/merge.py) unit tests."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -118,3 +120,50 @@ def test_hoist_plan_vmem_budget():
     assert on and r >= 4                # deep merged segments batch more rows
     assert _hoist_plan("0", S=40, r_default=2, **flagship) == (False, 2)
     assert _hoist_plan("1", S=40, r_default=2, **flagship) == (True, 2)
+
+
+def test_hoisted_block_kernel_matches_base():
+    """attn_block_q8's phase-hoisted variant (proj+residual fused, R rows
+    per program) matches the per-row block kernel in interpret mode."""
+    from tokenhmr_tpu.ops import attention as A
+    from tokenhmr_tpu.ops.qmatmul import quantize_cols
+
+    rng = np.random.RandomState(3)
+    B, S, K, H, D = 4, 16, 32, 2, 8
+    HD = H * D
+    x = jnp.asarray(rng.randn(B, S, K).astype(np.float32))
+    res = jnp.asarray(rng.randn(B, S, K).astype(np.float32))
+    g = jnp.asarray((rng.rand(K) + 0.5).astype(np.float32))
+    b = jnp.asarray((rng.randn(K) * 0.1).astype(np.float32))
+    wq, ws = quantize_cols(jnp.asarray(rng.randn(K, 3 * HD).astype(np.float32) * 0.1))
+    bias = jnp.asarray(rng.randn(3 * HD).astype(np.float32) * 0.05)
+    wqp, wsp = quantize_cols(jnp.asarray(rng.randn(HD, K).astype(np.float32) * 0.1))
+    bp = jnp.asarray(rng.randn(K).astype(np.float32) * 0.05)
+    outs = {}
+    for hoist in ("0", "1", "auto"):
+        os.environ["THMR_ATTN_HOIST"] = hoist
+        try:
+            out = A.attn_block_q8(x, g, b, wq, ws.reshape(-1), bias,
+                                  wqp, wsp.reshape(-1), bp, res,
+                                  D ** -0.5, H, interpret=True)
+        finally:
+            os.environ.pop("THMR_ATTN_HOIST", None)
+        outs[hoist] = np.asarray(out, np.float32)
+    np.testing.assert_allclose(outs["0"], outs["1"], atol=2e-2)
+    # auto picks R=4 at this tiny shape — covers the R>2 hoisted path
+    np.testing.assert_allclose(outs["0"], outs["auto"], atol=2e-2)
+
+
+def test_hoist_plan_proj_vmem_budget():
+    """proj=True adds the resident proj weights + bf16 residual/out blocks
+    + R-row f32 out scratch: the fused block kernel degrades to per-row
+    one merge site earlier than the qkv-only kernel."""
+    from tokenhmr_tpu.ops.attention import _hoist_plan
+
+    flagship = dict(B=128, K=1280, THD=3840, HD=1280, num_heads=16)
+    on, r = _hoist_plan("auto", S=112, r_default=2, proj=True, **flagship)
+    assert not on and r == 2            # fits at 112 WITHOUT proj, not with
+    on, r = _hoist_plan("auto", S=64, r_default=2, proj=True, **flagship)
+    assert on and r == 2
+    on, r = _hoist_plan("auto", S=40, r_default=2, proj=True, **flagship)
+    assert on and r == 4

@@ -603,7 +603,7 @@ def _ln_qkv_mha_q8_kernel_hoist(*refs, scale: float, num_heads: int,
 
 
 def _hoist_plan(mode: str, B: int, S: int, K: int, THD: int, HD: int,
-                num_heads: int, r_default: int):
+                num_heads: int, r_default: int, proj: bool = False):
     """Decide whether to run the cross-row phase-hoisted kernel, and at
     what row-block R.
 
@@ -616,7 +616,11 @@ def _hoist_plan(mode: str, B: int, S: int, K: int, THD: int, HD: int,
     ToMe schedule (S<=112 at the 5-site default).  At S=192 the scores
     scratch alone is 4.7 MB at R=2 and the estimate blows the budget, so
     auto degrades to the per-row kernel there (measured-correct
-    behaviour: the real-chip compile failure that killed mode "1")."""
+    behaviour: the real-chip compile failure that killed mode "1").
+
+    proj=True plans the proj+residual-fused block kernel (attn_block_q8):
+    the resident proj weights, bf16 residual/out blocks and the R-row f32
+    attention-out scratch are added to the estimate."""
     if mode == "0" or B == 1:
         return False, r_default
     if mode == "1":
@@ -626,14 +630,24 @@ def _hoist_plan(mode: str, B: int, S: int, K: int, THD: int, HD: int,
             continue
         est = (
             2 * (R * S * K * 2          # bf16 x block (double-buffered)
-                 + R * S * 4            # attn-bias block
-                 + R * S * HD           # int8 out block
-                 + R * S * 4)           # out-scale block
+                 + R * S * 4)           # attn-bias block
             + K * THD + 2 * THD * 4     # resident int8 qkv weights + scales
             + R * S * THD * 2           # bf16 qkv scratch
             + R * num_heads * S * S * 4  # f32 scores scratch
-            + S * HD * 4                # f32 out scratch
         )
+        if proj:
+            est += (
+                HD * K + 2 * K * 4       # resident int8 proj weights + scales
+                + 2 * (R * S * K * 2)    # bf16 residual block
+                + 2 * (R * S * K * 2)    # bf16 out block
+                + R * S * HD * 4         # f32 attention-out scratch (R rows)
+            )
+        else:
+            est += (
+                2 * (R * S * HD          # int8 out block
+                     + R * S * 4)        # out-scale block
+                + S * HD * 4             # f32 out scratch
+            )
         if est <= 13 * 2**20:
             return True, R
     return False, r_default
@@ -751,6 +765,63 @@ def _attn_block_q8_kernel(*refs, scale: float, num_heads: int, head_dim: int,
         o_ref[b] = out.astype(o_ref.dtype)
 
 
+def _attn_block_q8_kernel_hoist(*refs, scale: float, num_heads: int,
+                                head_dim: int, block_rows: int,
+                                has_bias: bool, eps: float):
+    """attn_block_q8 with the cross-row phase hoist: every stage (LN+qkv,
+    QK, softmax, PV, quant+proj+residual) runs back-to-back over all R
+    rows, so each MXU phase batches R (or R*H) matmuls instead of one.
+    Costs R x the scores and attention-out scratches — only dispatched
+    where _hoist_plan(proj=True)'s VMEM estimate fits."""
+    (x_ref, g_ref, b_ref, wq_ref, wsb_ref, wp_ref, wpb_ref, r_ref) = refs[:8]
+    bias_ref = refs[8] if has_bias else None
+    o_ref = refs[8 + has_bias]
+    qkv_ref = refs[9 + has_bias]   # (R, S, 3HD) bf16 scratch
+    sc_ref = refs[10 + has_bias]   # (R*H, S, S) f32 scratch
+    ob_ref = refs[11 + has_bias]   # (R, S, HD) f32 scratch
+    H, D = num_heads, head_dim
+    HD = H * D
+    for b in range(block_rows):
+        xq, rs = _ln_quant_rows(x_ref[b].astype(jnp.float32),
+                                g_ref[:], b_ref[:], eps)
+        acc = jax.lax.dot_general(
+            xq, wq_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        qkv_ref[b] = (acc.astype(jnp.float32) * rs * wsb_ref[0:1]
+                      + wsb_ref[1:2]).astype(qkv_ref.dtype)
+    for b in range(block_rows):
+        for hh in range(H):
+            q = qkv_ref[b, :, hh * D:(hh + 1) * D]
+            k = qkv_ref[b, :, HD + hh * D: HD + (hh + 1) * D]
+            sc_ref[b * H + hh] = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    for b in range(block_rows):
+        for hh in range(H):
+            s = sc_ref[b * H + hh] * scale
+            if bias_ref is not None:
+                s = s + bias_ref[b]
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            sc_ref[b * H + hh] = p / jnp.sum(p, axis=-1, keepdims=True)
+    for b in range(block_rows):
+        for hh in range(H):
+            v = qkv_ref[b, :, 2 * HD + hh * D: 2 * HD + (hh + 1) * D]
+            ob_ref[b, :, hh * D:(hh + 1) * D] = jnp.dot(
+                sc_ref[b * H + hh].astype(qkv_ref.dtype), v,
+                preferred_element_type=jnp.float32)
+    for b in range(block_rows):
+        oq, ors = _quant_rows_out(ob_ref[b])
+        acc2 = jax.lax.dot_general(
+            oq, wp_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out = (acc2.astype(jnp.float32) * ors * wpb_ref[0:1] + wpb_ref[1:2]
+               + r_ref[b].astype(jnp.float32))
+        o_ref[b] = out.astype(o_ref.dtype)
+
+
 def attn_block_q8(x: jax.Array, gamma: jax.Array, beta: jax.Array,
                   wq: jax.Array, ws: jax.Array, bias: jax.Array,
                   wq_proj: jax.Array, ws_proj: jax.Array,
@@ -773,6 +844,8 @@ def attn_block_q8(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     R = int(_os.environ.get("THMR_ATTN_ROWS", block_rows))
     while R > 1 and B % R != 0:
         R //= 2
+    hoist, R = _hoist_plan(_os.environ.get("THMR_ATTN_HOIST", "0"),
+                           B, S, K, THD, HD, num_heads, R, proj=True)
     wsb = jnp.stack([ws.reshape(THD), bias.reshape(THD)]).astype(jnp.float32)
     wpb = jnp.stack([ws_proj.reshape(K), bias_proj.reshape(K)]
                     ).astype(jnp.float32)
@@ -793,8 +866,22 @@ def attn_block_q8(x: jax.Array, gamma: jax.Array, beta: jax.Array,
         in_specs.append(pl.BlockSpec((R, 1, S), lambda b: (b, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(attn_bias.astype(jnp.float32)[:, None, :])
+    if hoist:
+        kernel = _attn_block_q8_kernel_hoist
+        scratch = [
+            pltpu.VMEM((R, S, THD), jnp.bfloat16),
+            pltpu.VMEM((R * num_heads, S, S), jnp.float32),
+            pltpu.VMEM((R, S, HD), jnp.float32),
+        ]
+    else:
+        kernel = _attn_block_q8_kernel
+        scratch = [
+            pltpu.VMEM((S, THD), jnp.bfloat16),
+            pltpu.VMEM((num_heads, S, S), jnp.float32),
+            pltpu.VMEM((S, HD), jnp.float32),
+        ]
     return pl.pallas_call(
-        functools.partial(_attn_block_q8_kernel, scale=scale,
+        functools.partial(kernel, scale=scale,
                           num_heads=num_heads, head_dim=D, block_rows=R,
                           has_bias=attn_bias is not None, eps=eps),
         grid=(B // R,),
@@ -802,11 +889,7 @@ def attn_block_q8(x: jax.Array, gamma: jax.Array, beta: jax.Array,
         out_specs=pl.BlockSpec((R, S, K), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, S, K), residual.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((S, THD), jnp.bfloat16),
-            pltpu.VMEM((num_heads, S, S), jnp.float32),
-            pltpu.VMEM((S, HD), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * S * K * THD + 4 * B * num_heads * S * S * D
             + 2 * B * S * HD * K,

@@ -27,8 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def batch_stream(cfg, batch_size, seed=0, data_npz=None):
-    from tokenhmr_tpu.data.synth_people import make_composite
+def batch_stream(cfg, batch_size, seed=0, data_npz=None, cache_n=0):
+    from tokenhmr_tpu.data.synth_people import _photometric, make_composite
     from tokenhmr_tpu.models.detector import splat_targets
 
     if data_npz:
@@ -40,6 +40,33 @@ def batch_stream(cfg, batch_size, seed=0, data_npz=None):
             imgs = images[idx].astype(np.float32) / 255.0
             tgts = [splat_targets(boxes[i], cfg) for i in idx]
             yield imgs, {k: np.stack([t[k] for t in tgts]) for k in tgts[0]}
+    elif cache_n:
+        # Pregenerate geometry+background once; per draw apply the cheap
+        # label-preserving randomizations (horizontal flip + photometric).
+        # Composite generation (~60/s/core) otherwise bounds training at
+        # ~2 steps/s on TPU — the cache turns the loop compute-bound.
+        rng = np.random.default_rng(seed)
+        cache = []
+        t0 = time.time()
+        for i in range(cache_n):
+            img, bx = make_composite(rng, cfg.img_size, photometric=False)
+            cache.append((img, bx))
+            if (i + 1) % 2000 == 0:
+                rate = (i + 1) / (time.time() - t0)
+                print(f"cache {i + 1}/{cache_n} ({rate:.0f}/s)", flush=True)
+        while True:
+            imgs, tgts = [], []
+            for j in rng.integers(0, cache_n, batch_size):
+                img, bx = cache[j]
+                if rng.uniform() < 0.5:  # horizontal flip
+                    img = img[:, ::-1]
+                    bx = bx.copy()
+                    bx[:, [0, 2]] = cfg.img_size - 1 - bx[:, [2, 0]]
+                img = _photometric(rng, np.ascontiguousarray(img))
+                imgs.append(img.astype(np.float32) / 255.0)
+                tgts.append(splat_targets(bx, cfg))
+            yield (np.stack(imgs),
+                   {k: np.stack([t[k] for t in tgts]) for k in tgts[0]})
     else:
         rng = np.random.default_rng(seed)
         while True:
@@ -64,6 +91,10 @@ def main(argv=None):
     p.add_argument("--log-steps", type=int, default=50)
     p.add_argument("--eval-steps", type=int, default=1000,
                    help="held-out recall@IoU0.5 every N steps (0=off)")
+    p.add_argument("--cache", type=int, default=0,
+                   help="pregenerate N composites and train on flip+"
+                        "photometric re-draws (0 = generate every batch "
+                        "fresh; generation is the throughput bound)")
     p.add_argument("--wh-log", action="store_true",
                    help="size head regresses log(wh): scale-invariant "
                         "across the 0.15-1.15 person-scale band")
@@ -149,7 +180,8 @@ def main(argv=None):
             fp += len(preds) - len(matched)
         return tp / max(tp + fn, 1), fp / n_imgs
 
-    stream = batch_stream(cfg, args.batch_size, data_npz=args.data_npz)
+    stream = batch_stream(cfg, args.batch_size, data_npz=args.data_npz,
+                          cache_n=args.cache)
     t0 = time.time()
     for it in range(args.steps):
         imgs, tgt = next(stream)

@@ -92,9 +92,10 @@ def sample_pose_joints(rng: np.random.Generator) -> np.ndarray:
 def _random_background(rng, size: int, style: str = "train") -> np.ndarray:
     img = np.zeros((size, size, 3), np.uint8)
     if style == "train":
-        # domain-randomized: gradient, solid, or blocky mosaic backgrounds
-        # (held-out keeps its own disjoint family: sinusoidal colour fields)
-        kind = rng.integers(3)
+        # domain-randomized: gradient, solid, blocky mosaic, angled stripes,
+        # or random-dot noise backgrounds (held-out keeps its own disjoint
+        # family: low-frequency sinusoidal colour fields)
+        kind = rng.integers(5)
         if kind == 0:
             c0 = rng.integers(0, 255, 3)
             c1 = rng.integers(0, 255, 3)
@@ -104,11 +105,30 @@ def _random_background(rng, size: int, style: str = "train") -> np.ndarray:
             img[:] = grad.astype(np.uint8)
         elif kind == 1:
             img[:] = rng.integers(0, 255, 3)
-        else:
+        elif kind == 2:
             cells = int(rng.integers(2, 8))
             mosaic = rng.integers(0, 255, (cells, cells, 3)).astype(np.uint8)
             img[:] = cv2.resize(mosaic, (size, size),
                                 interpolation=cv2.INTER_NEAREST)
+        elif kind == 3:
+            # hard-edged stripes at a random angle (disjoint from the
+            # held-out family's smooth sinusoids)
+            c0 = rng.integers(0, 255, 3).astype(np.float32)
+            c1 = rng.integers(0, 255, 3).astype(np.float32)
+            yy, xx = np.meshgrid(np.arange(size), np.arange(size),
+                                 indexing="ij")
+            th = rng.uniform(0, np.pi)
+            period = rng.uniform(8, size / 2)
+            phase = (np.cos(th) * xx + np.sin(th) * yy) / period
+            mask = (np.floor(phase).astype(int) % 2).astype(np.float32)
+            img[:] = (c0[None, None] * (1 - mask[:, :, None])
+                      + c1[None, None] * mask[:, :, None]).astype(np.uint8)
+        else:
+            # coarse random-dot noise field
+            cells = int(rng.integers(16, 64))
+            dots = rng.integers(0, 255, (cells, cells, 3)).astype(np.uint8)
+            img[:] = cv2.resize(dots, (size, size),
+                                interpolation=cv2.INTER_LINEAR)
         n_clutter = int(rng.integers(3, 16))
     else:
         # held-out style: low-frequency 2-D colour field (no axis-aligned
@@ -169,7 +189,8 @@ def draw_person(img: np.ndarray, joints3d: np.ndarray, center_px, height_px,
 
 def make_composite(rng: np.random.Generator, size: int = 256,
                    max_people: int = 3,
-                   style: str = "train") -> Tuple[np.ndarray, np.ndarray]:
+                   style: str = "train",
+                   photometric: bool = True) -> Tuple[np.ndarray, np.ndarray]:
     """-> (img uint8 (S, S, 3) RGB, boxes (N, 4) xyxy, clipped to image).
 
     style="train" is the training distribution; style="heldout" draws from
@@ -226,4 +247,26 @@ def make_composite(rng: np.random.Generator, size: int = 256,
     if rng.uniform() < 0.5:
         k = int(rng.integers(1, 4)) * 2 + 1
         img = cv2.GaussianBlur(img, (k, k), 0)
+    if style == "train" and photometric:
+        img = _photometric(rng, img)
     return img, (np.stack(boxes) if boxes else np.zeros((0, 4), np.float32))
+
+
+def _photometric(rng: np.random.Generator, img: np.ndarray) -> np.ndarray:
+    """Whole-composite photometric randomization (train style only).
+
+    Applied AFTER people are drawn, so the detector cannot key on absolute
+    colours or contrast levels — the invariance that transfers to the
+    held-out background family (and toward real photos).
+    """
+    x = img.astype(np.float32)
+    if rng.uniform() < 0.8:  # brightness / contrast jitter
+        x = (x - 127.5) * rng.uniform(0.6, 1.4) + 127.5 + rng.uniform(-40, 40)
+    if rng.uniform() < 0.5:  # gamma
+        x = np.clip(x, 0, 255)
+        x = 255.0 * (x / 255.0) ** rng.uniform(0.6, 1.6)
+    if rng.uniform() < 0.25:  # channel permutation
+        x = x[:, :, rng.permutation(3)]
+    if rng.uniform() < 0.15:  # grayscale
+        x = np.repeat(x.mean(axis=2, keepdims=True), 3, axis=2)
+    return np.clip(x, 0, 255).astype(np.uint8)

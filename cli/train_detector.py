@@ -162,8 +162,11 @@ def main(argv=None):
             preds = np.asarray(boxes[0])[np.asarray(scores[0]) > 0.3]
             matched = set()
             for g in gts:
+                # greedy: best IoU among preds NOT yet claimed by another GT
                 best_iou, best_j = 0.0, -1
                 for j, b in enumerate(preds):
+                    if j in matched:
+                        continue
                     ix = max(0, min(b[2], g[2]) - max(b[0], g[0]))
                     iy = max(0, min(b[3], g[3]) - max(b[1], g[1]))
                     inter = ix * iy
@@ -172,7 +175,7 @@ def main(argv=None):
                     iou = inter / max(u, 1e-6)
                     if iou > best_iou:
                         best_iou, best_j = iou, j
-                if best_iou > 0.5 and best_j not in matched:
+                if best_iou > 0.5:
                     tp += 1
                     matched.add(best_j)
                 else:

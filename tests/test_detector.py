@@ -146,3 +146,37 @@ def test_wh_log_splat_and_decode_roundtrip():
     # pre-r3 checkpoints omit the field -> default False keeps old decode
     d = DetectorConfig(img_size=64, base=8)
     assert d.wh_log is False
+
+
+def test_cache_stream_flip_box_consistency():
+    """--cache path: flip + photometric re-draws keep targets consistent.
+
+    The flipped boxes must splat a center column mirrored from the
+    unflipped one, and the stream must yield normalized images + stacked
+    targets of the right shapes."""
+    from cli.train_detector import batch_stream
+
+    cfg = DetectorConfig(img_size=64, base=8)
+    stream = batch_stream(cfg, batch_size=4, seed=3, cache_n=8)
+    imgs, tgt = next(stream)
+    assert imgs.shape == (4, 64, 64, 3) and imgs.dtype == np.float32
+    assert 0.0 <= imgs.min() and imgs.max() <= 1.0
+    h = cfg.out_hw
+    assert tgt["heat"].shape == (4, h, h)
+    assert tgt["wh"].shape == (4, h, h, 2)
+    assert tgt["off"].shape == (4, h, h, 2)
+    assert tgt["mask"].shape == (4, h, h)
+
+    # direct flip math check: mirrored boxes splat mirrored center cells
+    box = np.array([[8.0, 16.0, 24.0, 40.0]])
+    flipped = box.copy()
+    flipped[:, [0, 2]] = cfg.img_size - 1 - box[:, [2, 0]]
+    t0 = splat_targets(box, cfg)
+    t1 = splat_targets(flipped, cfg)
+    i0, j0 = np.unravel_index(t0["mask"].argmax(), t0["mask"].shape)
+    i1, j1 = np.unravel_index(t1["mask"].argmax(), t1["mask"].shape)
+    assert i0 == i1  # same row
+    # mirrored center column (within one cell of the exact mirror)
+    assert abs((h - 1 - j0) - j1) <= 1
+    # identical box sizes
+    np.testing.assert_allclose(t0["wh"][i0, j0], t1["wh"][i1, j1], atol=1e-5)

@@ -98,6 +98,9 @@ def main(argv=None):
     p.add_argument("--wh-log", action="store_true",
                    help="size head regresses log(wh): scale-invariant "
                         "across the 0.15-1.15 person-scale band")
+    p.add_argument("--p32", action="store_true",
+                   help="extra /32 pyramid level (receptive field covers "
+                        "near-frame-height people)")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = p.parse_args(argv)
@@ -114,10 +117,11 @@ def main(argv=None):
     from tokenhmr_tpu.train.checkpoint import save_detector_checkpoint
 
     if args.tiny:
-        cfg = DetectorConfig(img_size=64, base=8, wh_log=args.wh_log)
+        cfg = DetectorConfig(img_size=64, base=8, wh_log=args.wh_log,
+                             p32=args.p32)
     else:
         cfg = DetectorConfig(img_size=args.img_size, base=args.base,
-                             wh_log=args.wh_log)
+                             wh_log=args.wh_log, p32=args.p32)
     wh_weight = 1.0 if cfg.wh_log else 0.1
 
     model = PersonDetector(cfg)

@@ -36,6 +36,10 @@ class DetectorConfig:
     #                              invariant across the widened 0.15-1.15
     #                              person-scale band); False matches pre-r3
     #                              checkpoints, which omit the field
+    p32: bool = False            # extra /32 pyramid level: doubles the
+    #                              receptive field so near-frame-height
+    #                              people (~1.15*256 px) fit inside it;
+    #                              False matches pre-r3 checkpoints
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -74,6 +78,12 @@ class PersonDetector(nn.Module):
         s8 = ConvBlock(b * 4, 1, c.dtype)(x, train)
         x = ConvBlock(b * 8, 2, c.dtype)(s8, train)     # /16
         x = ConvBlock(b * 8, 1, c.dtype)(x, train)
+        if c.p32:
+            s16 = x
+            x = ConvBlock(b * 8, 2, c.dtype)(s16, train)  # /32
+            x = ConvBlock(b * 8, 1, c.dtype)(x, train)
+            x = _upsample2(x) + nn.Conv(b * 8, (1, 1), dtype=c.dtype)(s16)
+            x = ConvBlock(b * 8, 1, c.dtype)(x, train)
         # top-down fusion back to /4 (nearest upsample + 1x1 lateral)
         x = _upsample2(x) + nn.Conv(b * 8, (1, 1), dtype=c.dtype)(s8)
         x = ConvBlock(b * 4, 1, c.dtype)(x, train)

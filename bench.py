@@ -289,5 +289,35 @@ def main():
     print(json.dumps(rec))
 
 
+def _wait_for_backend():
+    """Bounded wait for the TPU backend before benching.
+
+    The driver runs this bench unattended at round end; a transiently-down
+    TPU tunnel otherwise either hangs the process indefinitely (stuck
+    tunnel) or fails the whole round's BENCH with an Unavailable error.
+    Probe in a SUBPROCESS (a stuck tunnel blocks inside C code — a thread
+    watchdog can't interrupt it) and retry for up to ~15 min.
+    """
+    import subprocess
+    attempts = int(os.environ.get("BENCH_BACKEND_ATTEMPTS", "6"))
+    probe = ("import jax, jax.numpy as jnp;"
+             "print(float(jnp.sum(jnp.ones((8, 8)))))")
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               timeout=90, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"bench: TPU backend unavailable "
+              f"(attempt {i + 1}/{attempts}); retrying in 60s",
+              file=sys.stderr)
+        time.sleep(60)
+    # fall through: main() surfaces the real error
+
+
 if __name__ == "__main__":
+    if os.environ.get("BENCH_WAIT_BACKEND", "1") == "1":
+        _wait_for_backend()
     main()

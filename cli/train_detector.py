@@ -27,7 +27,47 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def batch_stream(cfg, batch_size, seed=0, data_npz=None, cache_n=0):
+def _smpl_scene_cache(cfg, n, seed, device_batch=16, max_people=3):
+    """Pregenerate n SMPL-scene composites (device render + host background).
+
+    Returns a list of (img uint8 (S,S,3) RGB, boxes (k,4) xyxy) — same
+    contract as make_composite, but people are z-buffered SMPL bodies
+    (data/synth_scenes.py) instead of capsule stick figures.
+    """
+    import jax as _jax
+
+    from tokenhmr_tpu.data.synth_people import _random_background
+    from tokenhmr_tpu.data.synth_scenes import make_scene_batch_fn
+    from tokenhmr_tpu.models.humanoid import humanoid_smpl_model
+
+    model = humanoid_smpl_model()
+    fn = _jax.jit(make_scene_batch_fn(model, size=cfg.img_size,
+                                      max_people=max_people),
+                  static_argnums=1)
+    rng = np.random.default_rng(seed + 1)
+    key = _jax.random.PRNGKey(seed + 1)
+    out, t0 = [], time.time()
+    while len(out) < n:
+        key, sub = _jax.random.split(key)
+        body, alpha, boxes, valid = fn(sub, device_batch)
+        body, alpha = np.asarray(body), np.asarray(alpha)
+        boxes, valid = np.asarray(boxes), np.asarray(valid)
+        for i in range(device_batch):
+            if len(out) >= n:
+                break
+            bg = _random_background(
+                rng, cfg.img_size, "train").astype(np.float32) / 255.0
+            img = body[i] * alpha[i] + bg * (1 - alpha[i])
+            out.append(((img * 255).astype(np.uint8),
+                        boxes[i][valid[i] > 0].astype(np.float32)))
+        if len(out) % 2000 < device_batch:
+            rate = len(out) / (time.time() - t0)
+            print(f"smpl cache {len(out)}/{n} ({rate:.0f}/s)", flush=True)
+    return out
+
+
+def batch_stream(cfg, batch_size, seed=0, data_npz=None, cache_n=0,
+                 smpl_frac=0.0):
     from tokenhmr_tpu.data.synth_people import _photometric, make_composite
     from tokenhmr_tpu.models.detector import splat_targets
 
@@ -46,14 +86,16 @@ def batch_stream(cfg, batch_size, seed=0, data_npz=None, cache_n=0):
         # Composite generation (~60/s/core) otherwise bounds training at
         # ~2 steps/s on TPU — the cache turns the loop compute-bound.
         rng = np.random.default_rng(seed)
-        cache = []
+        n_smpl = int(cache_n * smpl_frac)
+        cache = _smpl_scene_cache(cfg, n_smpl, seed) if n_smpl else []
         t0 = time.time()
-        for i in range(cache_n):
+        for i in range(cache_n - n_smpl):
             img, bx = make_composite(rng, cfg.img_size, photometric=False)
             cache.append((img, bx))
             if (i + 1) % 2000 == 0:
                 rate = (i + 1) / (time.time() - t0)
-                print(f"cache {i + 1}/{cache_n} ({rate:.0f}/s)", flush=True)
+                print(f"cache {i + 1}/{cache_n - n_smpl} ({rate:.0f}/s)",
+                      flush=True)
         while True:
             imgs, tgts = [], []
             for j in rng.integers(0, cache_n, batch_size):
@@ -95,6 +137,11 @@ def main(argv=None):
                    help="pregenerate N composites and train on flip+"
                         "photometric re-draws (0 = generate every batch "
                         "fresh; generation is the throughput bound)")
+    p.add_argument("--smpl-frac", type=float, default=0.0,
+                   help="fraction of cached composites rendered as SMPL "
+                        "scenes (data/synth_scenes.py, z-buffered humanoid "
+                        "bodies) instead of capsule stick figures; needs "
+                        "--cache")
     p.add_argument("--wh-log", action="store_true",
                    help="size head regresses log(wh): scale-invariant "
                         "across the 0.15-1.15 person-scale band")
@@ -187,7 +234,8 @@ def main(argv=None):
             fp += len(preds) - len(matched)
         return tp / max(tp + fn, 1), fp / n_imgs
 
-    stream = batch_stream(cfg, args.batch_size, data_npz=args.data_npz,
+    stream = batch_stream(cfg, args.batch_size, smpl_frac=args.smpl_frac,
+                          data_npz=args.data_npz,
                           cache_n=args.cache)
     t0 = time.time()
     for it in range(args.steps):

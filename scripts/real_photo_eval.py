@@ -1,0 +1,124 @@
+"""Real-photograph detector evaluation (VERDICT r2 missing-item 5).
+
+The container has no COCO data, but the reference ships two real demo
+photographs (ref `demo_sample/images/{hand_stand,climbing_wall}.jpg`,
+consumed by ref `tokenhmr/demo.py:63-90`).  This script runs the learned
+CenterNet-lite person detector (`tokenhmr_tpu/models/detector.py`, our
+replacement for the reference's detectron2 ViTDet, ref `demo.py:40-49`)
+on those photographs against hand-annotated ground-truth boxes and
+reports per-person best-IoU, recall@0.5, and false positives — the only
+real-photo accuracy evidence obtainable in this environment.
+
+GT boxes were annotated by visual inspection of the photographs
+(xyxy, source pixels).
+
+Usage:  python scripts/real_photo_eval.py [--ckpt PATH] [--thresh 0.25]
+        [--save-vis DIR]
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REF_IMAGES = "/root/reference/demo_sample/images"
+
+# Hand-annotated person boxes (xyxy in source pixels).
+GT = {
+    "hand_stand.jpg": [
+        [88, 32, 185, 192],    # person doing a handstand (inverted pose)
+        [228, 55, 300, 225],   # person standing on the right
+    ],
+    "climbing_wall.jpg": [
+        [58, 72, 182, 200],    # person crouched on the brick wall
+    ],
+}
+
+
+def iou_xyxy(a, b) -> float:
+    ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+    iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = ix * iy
+    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    return inter / max(ua, 1e-9)
+
+
+def evaluate(ckpt: str, thresh: float, images_dir: str = REF_IMAGES,
+             save_vis: str = "", platform: str = "cpu") -> dict:
+    """Returns {image: {"ious": [...], "recall": r, "fp": n}, "_mean": ...}."""
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    import cv2
+
+    from tokenhmr_tpu.data.detect import NNDetector
+
+    det = NNDetector(ckpt, score_thresh=thresh)
+    report, all_ious, n_gt, n_hit, n_fp = {}, [], 0, 0, 0
+    for name, gt_boxes in GT.items():
+        path = os.path.join(images_dir, name)
+        img = cv2.imread(path)[:, :, ::-1].copy()
+        pred = det(img)  # (M, 5) xyxy+score
+        # greedy one-to-one matching, highest-score pred first
+        claimed = set()
+        ious = [0.0] * len(gt_boxes)
+        for p in pred[np.argsort(-pred[:, 4])]:
+            best, best_g = 0.0, -1
+            for g, gt in enumerate(gt_boxes):
+                if g in claimed:
+                    continue
+                v = iou_xyxy(p[:4], gt)
+                if v > best:
+                    best, best_g = v, g
+            if best_g >= 0 and best >= 0.1:
+                claimed.add(best_g)
+                ious[best_g] = best
+            else:
+                n_fp += 1
+        hits = sum(1 for v in ious if v >= 0.5)
+        n_gt += len(gt_boxes)
+        n_hit += hits
+        all_ious += ious
+        report[name] = {"ious": [round(float(v), 3) for v in ious],
+                        "recall@0.5": hits / len(gt_boxes),
+                        "n_pred": int(len(pred))}
+        if save_vis:
+            os.makedirs(save_vis, exist_ok=True)
+            vis = img.copy()
+            for b in pred:
+                cv2.rectangle(vis, (int(b[0]), int(b[1])),
+                              (int(b[2]), int(b[3])), (255, 0, 0), 2)
+            for b in gt_boxes:
+                cv2.rectangle(vis, (int(b[0]), int(b[1])),
+                              (int(b[2]), int(b[3])), (0, 255, 0), 1)
+            cv2.imwrite(os.path.join(save_vis, name.replace(".jpg", ".png")),
+                        vis[:, :, ::-1])
+    report["_summary"] = {
+        "mean_iou": round(float(np.mean(all_ious)), 3),
+        "recall@0.5": round(n_hit / n_gt, 3),
+        "false_pos": n_fp,
+        "n_people": n_gt,
+    }
+    return report
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", default="artifacts_det/person_detector_synth_r3.npz")
+    p.add_argument("--thresh", type=float, default=0.25)
+    p.add_argument("--images-dir", default=REF_IMAGES)
+    p.add_argument("--save-vis", default="")
+    args = p.parse_args()
+    if not os.path.isdir(args.images_dir):
+        print(f"images dir {args.images_dir} absent — nothing to evaluate")
+        return
+    rep = evaluate(args.ckpt, args.thresh, args.images_dir, args.save_vis)
+    print(json.dumps(rep, indent=1))
+
+
+if __name__ == "__main__":
+    main()

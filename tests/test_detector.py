@@ -180,3 +180,93 @@ def test_cache_stream_flip_box_consistency():
     assert abs((h - 1 - j0) - j1) <= 1
     # identical box sizes
     np.testing.assert_allclose(t0["wh"][i0, j0], t1["wh"][i1, j1], atol=1e-5)
+
+
+class TestSynthScenes:
+    """On-device multi-person SMPL scenes (data/synth_scenes.py)."""
+
+    @pytest.fixture(scope="class")
+    def model(self):
+        from tokenhmr_tpu.models.humanoid import humanoid_smpl_model
+        return humanoid_smpl_model(num_vertices=600)
+
+    def test_shapes_boxes_valid_contract(self, model):
+        from tokenhmr_tpu.data.synth_scenes import make_scene_batch_fn
+
+        S, P, B = 96, 3, 3
+        fn = jax.jit(make_scene_batch_fn(model, size=S, max_people=P),
+                     static_argnums=1)
+        body, alpha, boxes, valid = fn(jax.random.PRNGKey(7), B)
+        assert body.shape == (B, S, S, 3)
+        assert alpha.shape == (B, S, S, 1)
+        assert boxes.shape == (B, P, 4) and valid.shape == (B, P)
+        body, alpha = np.asarray(body), np.asarray(alpha)
+        boxes, valid = np.asarray(boxes), np.asarray(valid)
+        assert np.isfinite(body).all() and np.isfinite(boxes).all()
+        assert 0.0 <= alpha.min() and alpha.max() <= 1.0
+        assert alpha.max() > 0.5          # somebody rendered
+        assert set(np.unique(valid)) <= {0.0, 1.0}
+        assert valid.sum() >= B           # >=1 active person per scene
+        v = valid > 0
+        assert (boxes[v] >= 0).all() and (boxes[v] <= S - 1).all()
+        assert ((boxes[v][:, 2] - boxes[v][:, 0]) > 8).all()
+        assert ((boxes[v][:, 3] - boxes[v][:, 1]) > 8).all()
+
+    def test_deterministic_and_people_inside_boxes(self, model):
+        from tokenhmr_tpu.data.synth_scenes import make_scene_batch_fn
+
+        S = 96
+        fn = jax.jit(make_scene_batch_fn(model, size=S, max_people=2),
+                     static_argnums=1)
+        a = fn(jax.random.PRNGKey(3), 2)
+        b = fn(jax.random.PRNGKey(3), 2)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        body, alpha, boxes, valid = map(np.asarray, a)
+        # essentially all rendered alpha mass lies inside the union of the
+        # projected boxes (dilated by the 3x3 splat footprint).  Uses all
+        # positive-area boxes, not just `valid` ones: an active person
+        # clipped to an edge sliver (<8px) renders but carries no GT box.
+        for i in range(2):
+            mask = np.zeros((S, S), bool)
+            for bx in boxes[i]:
+                if bx[2] > bx[0] and bx[3] > bx[1]:
+                    x0, y0, x1, y1 = (int(bx[0]) - 2, int(bx[1]) - 2,
+                                      int(np.ceil(bx[2])) + 3,
+                                      int(np.ceil(bx[3])) + 3)
+                    mask[max(y0, 0):y1, max(x0, 0):x1] = True
+            outside = alpha[i, :, :, 0] * (~mask)
+            assert outside.sum() <= 0.02 * alpha[i].sum() + 1e-6
+
+    def test_smpl_cache_stream(self, model, monkeypatch):
+        """--smpl-frac cache path yields the standard batch contract."""
+        import tokenhmr_tpu.models.humanoid as humanoid
+
+        from cli.train_detector import batch_stream
+
+        monkeypatch.setattr(humanoid, "humanoid_smpl_model",
+                            lambda **kw: model)
+        cfg = DetectorConfig(img_size=64, base=8)
+        stream = batch_stream(cfg, batch_size=2, seed=5, cache_n=6,
+                              smpl_frac=1.0)
+        imgs, tgt = next(stream)
+        assert imgs.shape == (2, 64, 64, 3) and imgs.dtype == np.float32
+        assert 0.0 <= imgs.min() and imgs.max() <= 1.0
+        h = cfg.out_hw
+        assert tgt["heat"].shape == (2, h, h)
+        assert tgt["mask"].shape == (2, h, h)
+
+
+class TestRealPhotoEvalMatching:
+    """Greedy matching/reporting logic of scripts/real_photo_eval.py."""
+
+    def test_iou_and_greedy_assignment(self):
+        import scripts.real_photo_eval as rpe
+
+        assert rpe.iou_xyxy([0, 0, 10, 10], [0, 0, 10, 10]) == pytest.approx(1.0)
+        assert rpe.iou_xyxy([0, 0, 10, 10], [20, 20, 30, 30]) == 0.0
+        # a high-score bad box must not steal the GT from a better match:
+        # scoring is greedy by confidence (COCO-style), so the high-score
+        # box claims GT only if it overlaps >= 0.1
+        assert rpe.iou_xyxy([0, 0, 4, 4], [0, 0, 10, 10]) == pytest.approx(
+            16 / 100)

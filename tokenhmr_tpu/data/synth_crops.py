@@ -69,8 +69,13 @@ class SynthConfig:
     normalize: bool = True         # emit (x - mean)/std images
 
 
-def sample_pose(rng: jax.Array, batch: int) -> Dict[str, jax.Array]:
-    """Sample body_pose/global_orient (rotmats), betas, weak-persp cam."""
+def sample_pose(rng: jax.Array, batch: int,
+                full_rot_frac: float = 0.1) -> Dict[str, jax.Array]:
+    """Sample body_pose/global_orient (rotmats), betas, weak-persp cam.
+
+    full_rot_frac: share of samples with an arbitrary 3D global rotation
+    (lying / inverted people); the rest are upright yaw-dominated.
+    """
     r_pose, r_mag, r_go, r_betas, r_cam = jax.random.split(rng, 5)
     # bounded heavy-tailed per-joint angles: tanh keeps them inside the
     # physiological box, the magnitude mixture adds near-rest poses
@@ -92,7 +97,7 @@ def sample_pose(rng: jax.Array, batch: int) -> Dict[str, jax.Array]:
     rand_aa = rand_aa / (jnp.linalg.norm(rand_aa, axis=-1, keepdims=True) + 1e-6)
     rand_ang = jax.random.uniform(rfull, (batch, 1, 1), maxval=np.pi)
     go_full = axis_angle_to_matrix(rand_aa * rand_ang)[:, 0]
-    pick = jax.random.uniform(rmix, (batch, 1, 1)) < 0.1
+    pick = jax.random.uniform(rmix, (batch, 1, 1)) < full_rot_frac
     go = jnp.where(pick, go_full, go)
     # model frame is y-up; the image/camera convention (OpenCV: y down,
     # z forward) flips y and z — fold the flip into global_orient so GT
@@ -128,27 +133,14 @@ for _n in ("head", "neck", "l_wrist", "r_wrist", "l_hand", "r_hand",
     _SKIN_PARTS[SMPL_JOINT_NAMES.index(_n)] = 1.0
 
 
-def render_crops(
-    model: SMPLModel,
-    part_id,                       # (V,) driving joint per vertex
-    verts: jax.Array,              # (B, V, 3) posed, model frame
-    cam_t: jax.Array,              # (B, 3)
-    rng: jax.Array,
-    cfg: SynthConfig = SynthConfig(),
-) -> jax.Array:
-    """Soft z-buffered vertex-splat render -> (B, H, W, 3) in [0, 1]."""
-    B, V, _ = verts.shape
-    H, W = cfg.height, cfg.width
-    r_light, r_skin, r_cloth, r_bg = jax.random.split(rng, 4)
+def shade_vertex_colors(model: SMPLModel, part_id, verts: jax.Array,
+                        rng: jax.Array) -> jax.Array:
+    """Per-vertex lambertian colors: random light + per-part albedo.
 
-    vcam = verts + cam_t[:, None, :]
-    z = vcam[..., 2]
-    f = cfg.focal_length
-    # pixel coords in the (H, W) crop cut from the square image_size frame
-    u = f * vcam[..., 0] / z + cfg.image_size / 2 - (cfg.image_size - W) / 2
-    v = f * vcam[..., 1] / z + cfg.image_size / 2 - (cfg.image_size - H) / 2
-
-    # shading
+    verts (B, V, 3) posed, model frame -> (B, V, 3) colors in [0, 1].
+    """
+    B = verts.shape[0]
+    r_light, r_skin, r_cloth = jax.random.split(rng, 3)
     normals = vertex_normals(verts, model.faces)                # (B, V, 3)
     light = jax.random.normal(r_light, (B, 3))
     light = light.at[:, 2].set(-jnp.abs(light[:, 2]) - 1.0)
@@ -169,25 +161,36 @@ def render_crops(
         [None, :, None])
     albedo = (is_skin * skin + (1 - is_skin) *
               (is_leg * cloth_legs + (1 - is_leg) * cloth_torso))
-    color = albedo * shade[..., None]                           # (B, V, 3)
+    return albedo * shade[..., None]                            # (B, V, 3)
 
-    # 3x3 splat with soft z-buffer via two segment reductions
+
+def splat_render(u: jax.Array, v: jax.Array, z: jax.Array, color: jax.Array,
+                 H: int, W: int, beta: float = 60.0
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """3x3 vertex splat with soft z-buffer via two segment reductions.
+
+    u/v/z (B, N) pixel coords + cam depth, color (B, N, 3)
+    -> (body (B, H, W, 3), alpha (B, H, W, 1)).  N may concatenate the
+    vertices of several people — the shared segment_min z-buffer then
+    resolves inter-person occlusion for free.
+    """
+    B = u.shape[0]
     ui = jnp.floor(u).astype(jnp.int32)
     vi = jnp.floor(v).astype(jnp.int32)
     offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
-    pix_list, val_list, z_list, w_list = [], [], [], []
+    pix_list, w_list = [], []
     for dy, dx in offs:
         px = ui + dx
         py = vi + dy
         inside = (px >= 0) & (px < W) & (py >= 0) & (py < H) & (z > 0.05)
         pcl = jnp.clip(px, 0, W - 1)
         pyl = jnp.clip(py, 0, H - 1)
-        idx = pyl * W + pcl                                     # (B, V)
+        idx = pyl * W + pcl                                     # (B, N)
         pix_list.append(jnp.where(inside, idx, H * W))          # overflow bin
         # bilinear-ish footprint weight
         d2 = (u - (px + 0.5)) ** 2 + (v - (py + 0.5)) ** 2
         w_list.append(jnp.exp(-0.8 * d2))
-    pix = jnp.stack(pix_list, 1).reshape(B, -1)                 # (B, 9V)
+    pix = jnp.stack(pix_list, 1).reshape(B, -1)                 # (B, 9N)
     foot = jnp.stack(w_list, 1).reshape(B, -1)
     zz = jnp.tile(z[:, None], (1, 9, 1)).reshape(B, -1)
     cc = jnp.tile(color[:, None], (1, 9, 1, 1)).reshape(B, -1, 3)
@@ -198,7 +201,7 @@ def render_crops(
         lambda zv, iv: jax.ops.segment_min(zv, iv, num_segments=NSEG)
     )(jnp.where(pix < H * W, zz, big), pix)
     zref = jnp.take_along_axis(zmin, pix, axis=1)
-    wdepth = foot * jnp.exp(-cfg.splat_beta * jnp.maximum(zz - zref, 0.0))
+    wdepth = foot * jnp.exp(-beta * jnp.maximum(zz - zref, 0.0))
     wdepth = jnp.where(pix < H * W, wdepth, 0.0)
     csum = jax.vmap(
         lambda cv, iv: jax.ops.segment_sum(cv, iv, num_segments=NSEG)
@@ -210,6 +213,31 @@ def render_crops(
     body = csum[:, : H * W].reshape(B, H, W, 3)
     alpha = jnp.clip(wsum[:, : H * W].reshape(B, H, W, 1) / 0.8, 0.0, 1.0)
     body = body / jnp.maximum(wsum[:, : H * W, None].reshape(B, H, W, 1), 1e-6)
+    return body, alpha
+
+
+def render_crops(
+    model: SMPLModel,
+    part_id,                       # (V,) driving joint per vertex
+    verts: jax.Array,              # (B, V, 3) posed, model frame
+    cam_t: jax.Array,              # (B, 3)
+    rng: jax.Array,
+    cfg: SynthConfig = SynthConfig(),
+) -> jax.Array:
+    """Soft z-buffered vertex-splat render -> (B, H, W, 3) in [0, 1]."""
+    B, V, _ = verts.shape
+    H, W = cfg.height, cfg.width
+    r_shade, r_bg = jax.random.split(rng)
+
+    vcam = verts + cam_t[:, None, :]
+    z = vcam[..., 2]
+    f = cfg.focal_length
+    # pixel coords in the (H, W) crop cut from the square image_size frame
+    u = f * vcam[..., 0] / z + cfg.image_size / 2 - (cfg.image_size - W) / 2
+    v = f * vcam[..., 1] / z + cfg.image_size / 2 - (cfg.image_size - H) / 2
+
+    color = shade_vertex_colors(model, part_id, verts, r_shade)
+    body, alpha = splat_render(u, v, z, color, H, W, cfg.splat_beta)
     bg = _background(r_bg, B, H, W)
     return body * alpha + bg * (1 - alpha)
 

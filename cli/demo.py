@@ -40,6 +40,10 @@ def main(argv=None):
     p.add_argument("--joint-regressor-extra", default=None)
     p.add_argument("--detector", default="full_frame",
                    choices=["full_frame", "file", "hog", "nn"])
+    p.add_argument("--detector-tiles", action="store_true",
+                   help="multi-scale test-time tiling for the nn detector "
+                        "(2x2 zoom tiles + full frame, NMS-merged: better "
+                        "small-person recall at ~5x detector compute)")
     p.add_argument("--detector-ckpt", default=None,
                    help="npz from cli/train_detector.py (--detector nn)")
     p.add_argument("--boxes-file", default=None)
@@ -152,7 +156,8 @@ def main(argv=None):
         pipeline = FullFramePipeline(params, frozen, cfg, smpl_model)
 
     detector = make_detector(args.detector, args.boxes_file,
-                             ckpt=args.detector_ckpt)
+                             ckpt=args.detector_ckpt,
+                             tiles=args.detector_tiles)
     os.makedirs(args.out_folder, exist_ok=True)
 
     exts = ("*.jpg", "*.jpeg", "*.png")

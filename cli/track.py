@@ -34,6 +34,10 @@ def main(argv=None):
     p.add_argument("--smpl-model", default=None)
     p.add_argument("--detector", default="full_frame",
                    choices=["full_frame", "file", "hog", "nn"])
+    p.add_argument("--detector-tiles", action="store_true",
+                   help="multi-scale test-time tiling for the nn detector "
+                        "(2x2 zoom tiles + full frame, NMS-merged: better "
+                        "small-person recall at ~5x detector compute)")
     p.add_argument("--detector-ckpt", default=None,
                    help="npz from cli/train_detector.py (--detector nn)")
     p.add_argument("--boxes-file", default=None)
@@ -123,7 +127,8 @@ def main(argv=None):
             return smpl_openpose_forward(smpl_model, betas, go, bp)["vertices"]
 
     detector = make_detector(args.detector, args.boxes_file,
-                             ckpt=args.detector_ckpt)
+                             ckpt=args.detector_ckpt,
+                             tiles=args.detector_tiles)
     tracker = IoUTracker()
     os.makedirs(args.out_folder, exist_ok=True)
 

@@ -47,7 +47,8 @@ def iou_xyxy(a, b) -> float:
 
 
 def evaluate(ckpt: str, thresh: float, images_dir: str = REF_IMAGES,
-             save_vis: str = "", platform: str = "cpu") -> dict:
+             save_vis: str = "", platform: str = "cpu",
+             tiles: bool = False) -> dict:
     """Returns {image: {"ious": [...], "recall": r, "fp": n}, "_mean": ...}."""
     import jax
 
@@ -57,7 +58,7 @@ def evaluate(ckpt: str, thresh: float, images_dir: str = REF_IMAGES,
 
     from tokenhmr_tpu.data.detect import NNDetector
 
-    det = NNDetector(ckpt, score_thresh=thresh)
+    det = NNDetector(ckpt, score_thresh=thresh, tiles=tiles)
     report, all_ious, n_gt, n_hit, n_fp = {}, [], 0, 0, 0
     for name, gt_boxes in GT.items():
         path = os.path.join(images_dir, name)
@@ -112,11 +113,14 @@ def main():
     p.add_argument("--thresh", type=float, default=0.25)
     p.add_argument("--images-dir", default=REF_IMAGES)
     p.add_argument("--save-vis", default="")
+    p.add_argument("--tiles", action="store_true",
+                   help="multi-scale 2x2 zoom-tile TTA")
     args = p.parse_args()
     if not os.path.isdir(args.images_dir):
         print(f"images dir {args.images_dir} absent — nothing to evaluate")
         return
-    rep = evaluate(args.ckpt, args.thresh, args.images_dir, args.save_vis)
+    rep = evaluate(args.ckpt, args.thresh, args.images_dir,
+               args.save_vis, tiles=args.tiles)
     print(json.dumps(rep, indent=1))
 
 

@@ -116,6 +116,31 @@ class TestNNDetector:
         out = det(np.zeros((100, 140, 3), np.uint8))
         assert out.shape[1] == 5  # (N, xyxy+score) contract
 
+    def test_tiled_inference_merges_views(self, tmp_path):
+        """--detector-tiles path: tile boxes map back to source pixels,
+        NMS-merge with the full-frame pass, stay inside the image."""
+        from tokenhmr_tpu.data.detect import NNDetector
+        from tokenhmr_tpu.train.checkpoint import save_detector_checkpoint
+
+        cfg = DetectorConfig(img_size=64, base=8)
+        model = PersonDetector(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)))["params"]
+        path = str(tmp_path / "det.npz")
+        save_detector_checkpoint(path, params, cfg)
+        det = NNDetector(path, score_thresh=0.0, tiles=True)
+        img = (np.random.default_rng(0)
+               .integers(0, 255, (90, 130, 3)).astype(np.uint8))
+        out = det(img)
+        assert out.ndim == 2 and out.shape[1] == 5
+        if len(out):
+            assert (out[:, 0] >= 0).all() and (out[:, 2] <= 130).all()
+            assert (out[:, 1] >= 0).all() and (out[:, 3] <= 90).all()
+        # merged output never exceeds the un-NMS'd union of the 5 views
+        det_plain = NNDetector(path, score_thresh=0.0)
+        n_single = len(det_plain(img))
+        assert len(out) <= 5 * max(n_single, 1) + 5
+
 
 def test_heldout_composite_style_is_distinct():
     """The generalization rig's held-out distribution is generated and

@@ -122,7 +122,7 @@ class NNDetector:
     """
 
     def __init__(self, ckpt_path: str, score_thresh: float = 0.35,
-                 iou_thresh: float = 0.5):
+                 iou_thresh: float = 0.5, tiles: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -134,6 +134,7 @@ class NNDetector:
         self.params, self.cfg = load_detector_checkpoint(ckpt_path)
         self.score_thresh = score_thresh
         self.iou_thresh = iou_thresh
+        self.tiles = tiles
         model = PersonDetector(self.cfg)
         cfg = self.cfg
 
@@ -146,7 +147,32 @@ class NNDetector:
         self._jnp = jnp
 
     def __call__(self, img: np.ndarray) -> np.ndarray:
-        return self.detect_batch([img])[0]
+        if not self.tiles:
+            return self.detect_batch([img])[0]
+        return self._detect_tiled(img)
+
+    def _detect_tiled(self, img: np.ndarray) -> np.ndarray:
+        """Multi-scale test-time tiling: the full letterboxed frame plus a
+        2x2 grid of ~60%-size overlapping zoom tiles, merged by NMS.
+        Small people span few letterbox pixels at high source resolutions;
+        the zoom tiles recover them at 5x the forward cost (one padded
+        batch dispatch, so latency grows less than 5x)."""
+        h, w = img.shape[:2]
+        th, tw = int(round(h * 0.6)), int(round(w * 0.6))
+        origins = [(0, 0), (0, w - tw), (h - th, 0), (h - th, w - tw)]
+        views = [img] + [img[y:y + th, x:x + tw] for (y, x) in origins]
+        dets = self.detect_batch(views)
+        merged = [dets[0]]
+        for (y, x), d in zip(origins, dets[1:]):
+            d = d.copy()
+            d[:, [0, 2]] += x
+            d[:, [1, 3]] += y
+            merged.append(d)
+        allb = np.concatenate(merged, axis=0)
+        if len(allb) == 0:
+            return allb
+        keep = nms_xyxy(allb[:, :4], allb[:, 4], self.iou_thresh)
+        return allb[keep]
 
     def detect_batch(self, imgs) -> list:
         """Batched detection: ONE device dispatch for a window of frames
@@ -186,7 +212,8 @@ class NNDetector:
 
 
 def make_detector(kind: str, boxes_file: Optional[str] = None,
-                  ckpt: Optional[str] = None) -> Detector:
+                  ckpt: Optional[str] = None,
+                  tiles: bool = False) -> Detector:
     if kind == "full_frame":
         return FullFrameDetector()
     if kind == "file":
@@ -196,6 +223,6 @@ def make_detector(kind: str, boxes_file: Optional[str] = None,
         return HogDetector()
     if kind == "nn":
         assert ckpt, "--detector-ckpt required for the nn detector"
-        return NNDetector(ckpt)
+        return NNDetector(ckpt, tiles=tiles)
     raise ValueError(
         f"unknown detector {kind!r} (full_frame | file | hog | nn)")

@@ -253,6 +253,11 @@ def main(argv=None):
             print(f"eval @ {it + 1}: train-dist recall@0.5 {rec:.3f} "
                   f"(fp/img {fpi:.2f}) | HELD-OUT-dist recall@0.5 "
                   f"{hrec:.3f} (fp/img {hfpi:.2f})", flush=True)
+            # checkpoint at every eval so a preempted/timed-out run still
+            # leaves its latest weights behind (long CPU runs get killed
+            # by external timeouts; saving only at the end loses all work)
+            save_detector_checkpoint(args.out, params, cfg)
+            print(f"saved {args.out} @ {it + 1}", flush=True)
 
     if args.eval_steps:
         rec, fpi = heldout_recall(params)

@@ -116,6 +116,29 @@ class TestNNDetector:
         out = det(np.zeros((100, 140, 3), np.uint8))
         assert out.shape[1] == 5  # (N, xyxy+score) contract
 
+    def test_wbf_fuses_coordinates_and_demotes_lone_views(self):
+        """Weighted box fusion: overlapping boxes average with score
+        weights (better localization than NMS keep-one), confidence is
+        the max member scaled by cross-view agreement."""
+        from tokenhmr_tpu.data.detect import wbf_xyxy
+
+        boxes = np.array([[10, 10, 50, 50],
+                          [14, 14, 54, 54],     # same person, shifted
+                          [200, 200, 240, 240]], np.float32)  # lone FP
+        scores = np.array([0.9, 0.3, 0.8], np.float32)
+        out = wbf_xyxy(boxes, scores, iou_thresh=0.5, n_views=2)
+        assert out.shape == (2, 5)
+        fused = out[np.argmin(out[:, 0])]       # the person cluster
+        exp = (boxes[0] * 0.9 + boxes[1] * 0.3) / 1.2
+        np.testing.assert_allclose(fused[:4], exp, atol=1e-4)
+        assert fused[4] == pytest.approx(0.9)   # 2 members: no demotion
+        lone = out[np.argmax(out[:, 0])]
+        assert lone[4] == pytest.approx(0.4)    # 1 of 2 views: halved
+        # n_views=1 (the tiled default): no demotion anywhere
+        out1 = wbf_xyxy(boxes, scores, iou_thresh=0.5, n_views=1)
+        assert np.max(out1[:, 4]) == pytest.approx(0.9)
+        assert np.min(out1[:, 4]) == pytest.approx(0.8)
+
     def test_tiled_inference_merges_views(self, tmp_path):
         """--detector-tiles path: tile boxes map back to source pixels,
         NMS-merge with the full-frame pass, stay inside the image."""

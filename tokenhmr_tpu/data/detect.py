@@ -49,6 +49,56 @@ def nms_xyxy(boxes: np.ndarray, scores: np.ndarray, iou_thresh: float = 0.5) -> 
     return np.asarray(keep, np.int64)
 
 
+def wbf_xyxy(boxes: np.ndarray, scores: np.ndarray,
+             iou_thresh: float = 0.5, n_views: int = 1) -> np.ndarray:
+    """Weighted box fusion (Solovyev et al. 2021) for ensemble/TTA merging.
+
+    Unlike NMS (which KEEPS one box per cluster and drops the rest), WBF
+    averages each cluster's coordinates with score weights — when several
+    views localize the same person imperfectly, the fused box is better
+    than any single one.  Confidence is scaled by cross-view agreement
+    (mean score * min(n_members, n_views)/n_views), so a box only one of
+    `n_views` views fired on is demoted — TTA false positives are rarely
+    reproduced across views.
+
+    Returns fused (M, 5) [x1, y1, x2, y2, score], score-sorted.
+    """
+    if len(boxes) == 0:
+        return np.zeros((0, 5), np.float32)
+    order = np.argsort(-scores)
+    fused: list = []     # per cluster: [weighted coord sum, score sum, n]
+    members: list = []   # per cluster: list of member scores
+    for i in order:
+        b, s = boxes[i], scores[i]
+        hit = -1
+        for ci, (csum, ssum, n) in enumerate(fused):
+            cb = csum / ssum
+            xx1 = max(b[0], cb[0]); yy1 = max(b[1], cb[1])
+            xx2 = min(b[2], cb[2]); yy2 = min(b[3], cb[3])
+            inter = max(xx2 - xx1, 0.0) * max(yy2 - yy1, 0.0)
+            a1 = max(b[2] - b[0], 0) * max(b[3] - b[1], 0)
+            a2 = max(cb[2] - cb[0], 0) * max(cb[3] - cb[1], 0)
+            if inter / max(a1 + a2 - inter, 1e-9) > iou_thresh:
+                hit = ci
+                break
+        if hit < 0:
+            fused.append([b * s, s, 1])
+            members.append([s])
+        else:
+            fused[hit][0] = fused[hit][0] + b * s
+            fused[hit][1] += s
+            fused[hit][2] += 1
+            members[hit].append(s)
+    out = np.zeros((len(fused), 5), np.float32)
+    for ci, (csum, ssum, n) in enumerate(fused):
+        out[ci, :4] = csum / ssum
+        # max member keeps the strongest single-view evidence (a person
+        # centered in the frame is whole in ONE view only); the agreement
+        # factor demotes single-view boxes when n_views > 1 is requested
+        out[ci, 4] = float(np.max(members[ci])) * min(n, n_views) / n_views
+    return out[np.argsort(-out[:, 4])]
+
+
 class FullFrameDetector:
     """One box covering the whole frame (score 1)."""
 
@@ -153,26 +203,45 @@ class NNDetector:
 
     def _detect_tiled(self, img: np.ndarray) -> np.ndarray:
         """Multi-scale test-time tiling: the full letterboxed frame plus a
-        2x2 grid of ~60%-size overlapping zoom tiles, merged by NMS.
-        Small people span few letterbox pixels at high source resolutions;
-        the zoom tiles recover them at 5x the forward cost (one padded
-        batch dispatch, so latency grows less than 5x)."""
+        2x2 grid of ~60%-size overlapping zoom tiles, fused by weighted
+        box fusion.  Small people span few letterbox pixels at high source
+        resolutions; the zoom tiles recover them at 5x the forward cost
+        (one padded batch dispatch, so latency grows less than 5x).
+
+        Tile detections truncated at an INTERIOR tile border (a border
+        that is not also an image border) are dropped: such boxes are
+        clipped fragments of a person the tile only partially sees, and
+        fusing them drags the merged coordinates inward.  The 20% tile
+        overlap keeps most positions whole in at least one view, and the
+        full frame always covers the rest.
+        """
         h, w = img.shape[:2]
         th, tw = int(round(h * 0.6)), int(round(w * 0.6))
         origins = [(0, 0), (0, w - tw), (h - th, 0), (h - th, w - tw)]
         views = [img] + [img[y:y + th, x:x + tw] for (y, x) in origins]
         dets = self.detect_batch(views)
         merged = [dets[0]]
+        pad = 2.0  # px: "touches the border" slack
         for (y, x), d in zip(origins, dets[1:]):
             d = d.copy()
+            if len(d):
+                trunc = np.zeros(len(d), bool)
+                if x > 0:                    # left border is interior
+                    trunc |= d[:, 0] < pad
+                if x + tw < w:               # right border is interior
+                    trunc |= d[:, 2] > tw - pad
+                if y > 0:                    # top border is interior
+                    trunc |= d[:, 1] < pad
+                if y + th < h:               # bottom border is interior
+                    trunc |= d[:, 3] > th - pad
+                d = d[~trunc]
             d[:, [0, 2]] += x
             d[:, [1, 3]] += y
             merged.append(d)
         allb = np.concatenate(merged, axis=0)
         if len(allb) == 0:
             return allb
-        keep = nms_xyxy(allb[:, :4], allb[:, 4], self.iou_thresh)
-        return allb[keep]
+        return wbf_xyxy(allb[:, :4], allb[:, 4], self.iou_thresh)
 
     def detect_batch(self, imgs) -> list:
         """Batched detection: ONE device dispatch for a window of frames

@@ -30,6 +30,10 @@ SCHEDULES = {
     "4-site 6:32,12:32,18:32,24:32 (r2 default)": "6:32,12:32,18:32,24:32",
     "4-site agg 4:64,10:48,16:32,22:16": "4:64,10:48,16:32,22:16",
     "5-site max 4:80,10:48,16:24,20:16,26:8": "4:80,10:48,16:24,20:16,26:8",
+    # earlier first merge (block 2): ~16% fewer block-tokens than 5-site
+    # max (the S=192 prologue shrinks 4 blocks -> 2) — candidate default
+    # if the accuracy cost on trained weights stays near the 5-site point
+    "5-site early 2:80,8:48,14:24,18:16,24:8": "2:80,8:48,14:24,18:16,24:8",
 }
 
 

@@ -62,6 +62,12 @@ VARIANTS = [
     # S=112 per-row fused (proj plan over budget), S<=64 hoisted fused
     ("sched-max+fusedproj+hoistauto", "4:80,10:48,16:24,20:16,26:8",
      {"THMR_FUSED_PROJ": "1", "THMR_ATTN_HOIST": "auto"}),
+    # first merge moved up to block 2: the S=192 prologue halves
+    # (4 blocks -> 2), ~16% fewer block-tokens than sched-max overall;
+    # accuracy gate = scripts/acc_table.py "5-site early" row
+    ("sched-early", "2:80,8:48,14:24,18:16,24:8", {}),
+    ("sched-early+fusedproj", "2:80,8:48,14:24,18:16,24:8",
+     {"THMR_FUSED_PROJ": "1"}),
 ]
 
 

@@ -64,22 +64,24 @@ def evaluate(ckpt: str, thresh: float, images_dir: str = REF_IMAGES,
         path = os.path.join(images_dir, name)
         img = cv2.imread(path)[:, :, ::-1].copy()
         pred = det(img)  # (M, 5) xyxy+score
-        # greedy one-to-one matching, highest-score pred first
-        claimed = set()
+        # optimal one-to-one matching (Hungarian, maximize summed IoU):
+        # greedy-by-score let a high-score mislocalized box claim a GT a
+        # later better-overlapping box should have had
+        from scipy.optimize import linear_sum_assignment
+
         ious = [0.0] * len(gt_boxes)
-        for p in pred[np.argsort(-pred[:, 4])]:
-            best, best_g = 0.0, -1
-            for g, gt in enumerate(gt_boxes):
-                if g in claimed:
-                    continue
-                v = iou_xyxy(p[:4], gt)
-                if v > best:
-                    best, best_g = v, g
-            if best_g >= 0 and best >= 0.1:
-                claimed.add(best_g)
-                ious[best_g] = best
-            else:
-                n_fp += 1
+        matched_preds = set()
+        if len(pred):
+            cost = np.zeros((len(pred), len(gt_boxes)))
+            for i, p in enumerate(pred):
+                for g, gt in enumerate(gt_boxes):
+                    cost[i, g] = iou_xyxy(p[:4], gt)
+            ri, ci = linear_sum_assignment(-cost)
+            for i, g in zip(ri, ci):
+                if cost[i, g] >= 0.1:
+                    ious[g] = float(cost[i, g])
+                    matched_preds.add(i)
+            n_fp += len(pred) - len(matched_preds)
         hits = sum(1 for v in ious if v >= 0.5)
         n_gt += len(gt_boxes)
         n_hit += hits

@@ -46,6 +46,29 @@ def iou_xyxy(a, b) -> float:
     return inter / max(ua, 1e-9)
 
 
+def match_preds(pred: np.ndarray, gt_boxes) -> tuple:
+    """Optimal one-to-one matching (Hungarian, maximize summed IoU):
+    greedy-by-score let a high-score mislocalized box claim a GT a
+    later better-overlapping box should have had.
+    -> (per-GT IoU list, n false positives)."""
+    from scipy.optimize import linear_sum_assignment
+
+    ious = [0.0] * len(gt_boxes)
+    if not len(pred):
+        return ious, 0
+    cost = np.zeros((len(pred), len(gt_boxes)))
+    for i, p in enumerate(pred):
+        for g, gt in enumerate(gt_boxes):
+            cost[i, g] = iou_xyxy(p[:4], gt)
+    ri, ci = linear_sum_assignment(-cost)
+    matched = set()
+    for i, g in zip(ri, ci):
+        if cost[i, g] >= 0.1:
+            ious[g] = float(cost[i, g])
+            matched.add(i)
+    return ious, len(pred) - len(matched)
+
+
 def evaluate(ckpt: str, thresh: float, images_dir: str = REF_IMAGES,
              save_vis: str = "", platform: str = "cpu",
              tiles: bool = False) -> dict:
@@ -64,24 +87,8 @@ def evaluate(ckpt: str, thresh: float, images_dir: str = REF_IMAGES,
         path = os.path.join(images_dir, name)
         img = cv2.imread(path)[:, :, ::-1].copy()
         pred = det(img)  # (M, 5) xyxy+score
-        # optimal one-to-one matching (Hungarian, maximize summed IoU):
-        # greedy-by-score let a high-score mislocalized box claim a GT a
-        # later better-overlapping box should have had
-        from scipy.optimize import linear_sum_assignment
-
-        ious = [0.0] * len(gt_boxes)
-        matched_preds = set()
-        if len(pred):
-            cost = np.zeros((len(pred), len(gt_boxes)))
-            for i, p in enumerate(pred):
-                for g, gt in enumerate(gt_boxes):
-                    cost[i, g] = iou_xyxy(p[:4], gt)
-            ri, ci = linear_sum_assignment(-cost)
-            for i, g in zip(ri, ci):
-                if cost[i, g] >= 0.1:
-                    ious[g] = float(cost[i, g])
-                    matched_preds.add(i)
-            n_fp += len(pred) - len(matched_preds)
+        ious, fp = match_preds(pred, gt_boxes)
+        n_fp += fp
         hits = sum(1 for v in ious if v >= 0.5)
         n_gt += len(gt_boxes)
         n_hit += hits
@@ -109,6 +116,46 @@ def evaluate(ckpt: str, thresh: float, images_dir: str = REF_IMAGES,
     return report
 
 
+def sweep(ckpt: str, images_dir: str = REF_IMAGES,
+          tiles: bool = False, floor: float = 0.05) -> list:
+    """Score-threshold sweep for picking an operating point: ONE detector
+    pass per image at a low floor threshold, then filter the (already
+    fused) predictions at each threshold.  Post-fusion filtering is an
+    approximation of re-running detection per threshold (WBF membership
+    depends on the floor), close enough for operating-point diagnostics.
+    """
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import cv2
+
+    from tokenhmr_tpu.data.detect import NNDetector
+
+    det = NNDetector(ckpt, score_thresh=floor, tiles=tiles)
+    preds = {}
+    for name in GT:
+        img = cv2.imread(os.path.join(images_dir, name))[:, :, ::-1].copy()
+        preds[name] = det(img)
+    rows = []
+    for t in (0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.5):
+        n_gt = n_hit = n_fp = 0
+        all_ious = []
+        for name, gt_boxes in GT.items():
+            p = preds[name]
+            ious, fp = match_preds(p[p[:, 4] >= t], gt_boxes)
+            n_gt += len(gt_boxes)
+            n_hit += sum(1 for v in ious if v >= 0.5)
+            n_fp += fp
+            all_ious += ious
+        prec = n_hit / max(n_hit + n_fp, 1)
+        rec = n_hit / n_gt
+        rows.append({"thresh": t, "recall@0.5": round(rec, 3),
+                     "mean_iou": round(float(np.mean(all_ious)), 3),
+                     "fp": n_fp,
+                     "f1": round(2 * prec * rec / max(prec + rec, 1e-9), 3)})
+    return rows
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", default="artifacts_det/person_detector_synth_r3.npz")
@@ -117,9 +164,16 @@ def main():
     p.add_argument("--save-vis", default="")
     p.add_argument("--tiles", action="store_true",
                    help="multi-scale 2x2 zoom-tile TTA")
+    p.add_argument("--sweep", action="store_true",
+                   help="threshold sweep (one low-floor pass, post-fusion "
+                        "filtering) instead of a single-threshold report")
     args = p.parse_args()
     if not os.path.isdir(args.images_dir):
         print(f"images dir {args.images_dir} absent — nothing to evaluate")
+        return
+    if args.sweep:
+        for row in sweep(args.ckpt, args.images_dir, tiles=args.tiles):
+            print(json.dumps(row))
         return
     rep = evaluate(args.ckpt, args.thresh, args.images_dir,
                args.save_vis, tiles=args.tiles)

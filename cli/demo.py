@@ -40,6 +40,9 @@ def main(argv=None):
     p.add_argument("--joint-regressor-extra", default=None)
     p.add_argument("--detector", default="full_frame",
                    choices=["full_frame", "file", "hog", "nn"])
+    p.add_argument("--detector-thresh", type=float, default=0.35,
+                   help="nn detector score threshold (real photos often "
+                        "want 0.15-0.25 with an undertrained checkpoint)")
     p.add_argument("--detector-tiles", action="store_true",
                    help="multi-scale test-time tiling for the nn detector "
                         "(2x2 zoom tiles + full frame, NMS-merged: better "
@@ -157,7 +160,8 @@ def main(argv=None):
 
     detector = make_detector(args.detector, args.boxes_file,
                              ckpt=args.detector_ckpt,
-                             tiles=args.detector_tiles)
+                             tiles=args.detector_tiles,
+                             score_thresh=args.detector_thresh)
     os.makedirs(args.out_folder, exist_ok=True)
 
     exts = ("*.jpg", "*.jpeg", "*.png")

@@ -282,7 +282,8 @@ class NNDetector:
 
 def make_detector(kind: str, boxes_file: Optional[str] = None,
                   ckpt: Optional[str] = None,
-                  tiles: bool = False) -> Detector:
+                  tiles: bool = False,
+                  score_thresh: float = 0.35) -> Detector:
     if kind == "full_frame":
         return FullFrameDetector()
     if kind == "file":
@@ -292,6 +293,6 @@ def make_detector(kind: str, boxes_file: Optional[str] = None,
         return HogDetector()
     if kind == "nn":
         assert ckpt, "--detector-ckpt required for the nn detector"
-        return NNDetector(ckpt, tiles=tiles)
+        return NNDetector(ckpt, tiles=tiles, score_thresh=score_thresh)
     raise ValueError(
         f"unknown detector {kind!r} (full_frame | file | hog | nn)")

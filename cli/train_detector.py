@@ -148,6 +148,10 @@ def main(argv=None):
     p.add_argument("--p32", action="store_true",
                    help="extra /32 pyramid level (receptive field covers "
                         "near-frame-height people)")
+    p.add_argument("--init-from", default=None,
+                   help="warm-start from an existing detector npz (arch "
+                        "flags must match); lets long runs be chained "
+                        "across sessions/preemptions")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = p.parse_args(argv)
@@ -174,6 +178,13 @@ def main(argv=None):
     model = PersonDetector(cfg)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, cfg.img_size, cfg.img_size, 3)))["params"]
+    if args.init_from:
+        from tokenhmr_tpu.train.checkpoint import load_detector_checkpoint
+        loaded, lcfg = load_detector_checkpoint(args.init_from)
+        assert lcfg == cfg, (
+            f"--init-from arch mismatch: checkpoint {lcfg} vs flags {cfg}")
+        params = loaded
+        print(f"warm-started from {args.init_from}")
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"detector params: {n_params/1e6:.2f}M, input {cfg.img_size}")
 

@@ -247,7 +247,14 @@ def main():
               f"mean {delta_mm:.3f} mm, p99 {delta_p99_mm:.3f} mm",
               file=sys.stderr)
         assert np.isfinite(delta_mm), "non-finite output from benched graph"
-        bound = float(os.environ.get("BENCH_DELTA_MAX", "120"))
+        # trained weights: tight bound (kernel regressions show up as mm).
+        # random synthetic weights (no artifacts_synth ckpt present): the
+        # same graph delta is chaos-amplified ~20x by 32 random residual
+        # blocks (measured 41 mm at the 4-site schedule, ~150 mm at the
+        # 5-site, vs 2.9/8.1 mm trained — docs/ACC_TABLE.md), so the
+        # assert only guards against NaN/blowup, not accuracy.
+        default_bound = "120" if trained else "400"
+        bound = float(os.environ.get("BENCH_DELTA_MAX", default_bound))
         assert delta_mm < bound, (
             f"vertex delta {delta_mm:.1f} mm exceeds BENCH_DELTA_MAX={bound}"
             " — kernel numeric regression")

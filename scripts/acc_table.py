@@ -55,6 +55,9 @@ def main():
                    help="tiny-config smoke (CPU): verifies the sweep loop "
                         "end-to-end against a tiny export")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    p.add_argument("--only", default="",
+                   help="comma-separated substrings: keep only matching "
+                        "schedule rows (exact bf16/int8 rows always run)")
     args = p.parse_args()
     if args.platform:
         import jax as _j
@@ -197,9 +200,12 @@ def main():
     rows.append(("int8 (exact graph)", "-", m, d))
     print(f"int8: {m} delta {d:.2f}mm", file=sys.stderr)
 
+    only = [s for s in args.only.split(",") if s]
     for metric in args.metrics.split(","):
         for name, sched in SCHEDULES.items():
             if not sched:
+                continue
+            if only and not any(s in name for s in only):
                 continue
             key = f"{metric}:{sched}"
             if key in done:

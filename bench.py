@@ -254,6 +254,15 @@ def main():
         # 5-site, vs 2.9/8.1 mm trained — docs/ACC_TABLE.md), so the
         # assert only guards against NaN/blowup, not accuracy.
         default_bound = "120" if trained else "400"
+        if not trained:
+            # Loud flag (ADVICE r3): without the trained ckpt (e.g. the
+            # gitignored npz lost on a reset) this run's delta assert is
+            # only a NaN/blowup guard, NOT accuracy evidence — make that
+            # impossible to mistake for an accuracy-verified result.
+            print("# WARNING: trained checkpoint NOT found — running on "
+                  "RANDOM weights; delta bound relaxed to 400 mm and the "
+                  "accuracy gate is NOT exercised (see weights= tag and "
+                  "accuracy_gated=false in the JSON)", file=sys.stderr)
         bound = float(os.environ.get("BENCH_DELTA_MAX", default_bound))
         assert delta_mm < bound, (
             f"vertex delta {delta_mm:.1f} mm exceeds BENCH_DELTA_MAX={bound}"
@@ -288,6 +297,10 @@ def main():
         "config": (f"quant={quant} merge={merge or 'off'} B={batch_size} "
                    f"weights={'trained-synth' if trained else 'random'}"),
     }
+    # accuracy_gated: True only when the delta assert ran against TRAINED
+    # weights with the tight bound — i.e. the number is accuracy evidence,
+    # not just a NaN guard (ADVICE r3).
+    rec["accuracy_gated"] = bool(trained and delta_mm is not None)
     if delta_mm is not None:
         rec["delta_mm"] = round(delta_mm, 3)
         rec["delta_p99_mm"] = round(delta_p99_mm, 3)

@@ -59,6 +59,12 @@ def main():
                    help="comma-separated substrings: keep only matching "
                         "schedule rows (exact bf16/int8 rows always run)")
     args = p.parse_args()
+    if args.only and args.out == "docs/ACC_TABLE.md":
+        # A filtered sweep must not clobber the canonical full table that
+        # bench.py's bound rationale cites (ADVICE r3).
+        p.error("--only writes a PARTIAL table: pass an explicit --out "
+                "(e.g. /tmp/acc_partial.md) so docs/ACC_TABLE.md keeps the "
+                "full sweep")
     if args.platform:
         import jax as _j
         _j.config.update("jax_platforms", args.platform)

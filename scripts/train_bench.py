@@ -7,11 +7,14 @@ with in-step frozen-encoder GT tokens, remat'd backbone backward).
 Reference yardstick (BASELINE.md): the release checkpoint trained 350k
 steps x batch 48 in ~4 days on 4x A100 DDP fp16
 (/root/reference/README.md:305, configs_hydra/experiment/
-tokenhmr_release.yaml) = 48.6 train crops/s aggregate, 12.15 per GPU.
+tokenhmr_release.yaml).  Lightning DDP gives EACH of the 4 processes its
+own DataLoader at TRAIN.BATCH_SIZE=48 (ref lib/datasets/__init__.py:82),
+so a "step" consumes 4x48 crops: 350k steps / 4 days = 48.6 crops/s per
+GPU, ~194.4 aggregate.
 
 Prints one JSON line:
   {"metric": "train_crops_per_sec_chip", "value": N, ...,
-   "ref_crops_per_sec_gpu": 12.15, "vs_ref_gpu": N/12.15}
+   "ref_crops_per_sec_gpu": 48.6, "vs_ref_gpu": N/48.6}
 
 Usage: python scripts/train_bench.py [--batch 48] [--iters 10]
 """
@@ -27,7 +30,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REF_CROPS_PER_SEC_GPU = 350_000 * 48 / (4 * 86400) / 4   # 12.15
+# Per-GPU rate: each DDP process steps its OWN batch-48 loader, so the
+# per-GPU crop rate is steps/s * 48 with steps/s = 350k / 4 days.
+REF_CROPS_PER_SEC_GPU = 350_000 * 48 / (4 * 86400)       # 48.6
+REF_CROPS_PER_SEC_AGGREGATE = REF_CROPS_PER_SEC_GPU * 4  # 194.4 (4x A100)
 
 
 def synthetic_device_batch(batch_size, img_hw, seed=0):
@@ -105,7 +111,8 @@ def main():
                                              jax.random.fold_in(rng, i))
     # block_until_ready can return early on the tunneled backend; a value
     # readback is the reliable barrier (docs/PERF_NOTES.md)
-    float(metrics["total"])
+    if args.warmup:
+        float(metrics["total"])
     print(f"# warmup+compile: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
@@ -125,6 +132,7 @@ def main():
         "steps_per_sec": round(steps_per_sec, 3),
         "batch": args.batch,
         "ref_crops_per_sec_gpu": round(REF_CROPS_PER_SEC_GPU, 2),
+        "ref_crops_per_sec_aggregate": round(REF_CROPS_PER_SEC_AGGREGATE, 2),
         "vs_ref_gpu": round(crops_per_sec / REF_CROPS_PER_SEC_GPU, 2),
         "loss_finite": bool(np.isfinite(last_loss)),
         "device": dev.device_kind,

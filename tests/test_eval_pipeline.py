@@ -41,6 +41,37 @@ def _make_synthetic_dataset(root, n=6, img_hw=(120, 100)):
     )
 
 
+def _make_synthetic_emdb_dataset(root, n=6, img_hw=(120, 100)):
+    """Write images + an EMDB-layout annotation npz (ref
+    emdb_dataset.py:51-104): concatenated 44-joint keypoints_2d, scalar
+    (n,1) scale exercising the tile path, mixed genders."""
+    cv2 = pytest.importorskip("cv2")
+    img_dir = os.path.join(root, "EMDB")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.RandomState(7)
+    names = []
+    for i in range(n):
+        img = (rng.rand(*img_hw, 3) * 255).astype(np.uint8)
+        name = f"img_{i:03d}.jpg"
+        cv2.imwrite(os.path.join(img_dir, name), img)
+        names.append(name)
+    H, W = img_hw
+    np.savez(
+        os.path.join(img_dir, "emdb_for_hmr2.npz"),
+        imgname=np.array(names),
+        center=np.tile([[W / 2, H / 2]], (n, 1)).astype(np.float32),
+        scale=(np.ones((n, 1)) * 0.5).astype(np.float32),
+        body_pose=rng.randn(n, 72).astype(np.float32) * 0.2,
+        has_body_pose=np.ones(n, np.float32),
+        betas=rng.randn(n, 10).astype(np.float32) * 0.3,
+        has_betas=np.ones(n, np.float32),
+        keypoints_2d=rng.rand(n, 44, 3).astype(np.float32),
+        body_keypoints_3d=rng.rand(n, 25, 4).astype(np.float32),
+        extra_keypoints_3d=rng.rand(n, 19, 4).astype(np.float32),
+        gender=np.array(["m", "f"] * (n // 2)),
+    )
+
+
 class TestEvaluatorUnits:
     def test_pelvis_protocol_zero_for_identical(self):
         ev = Evaluator(10, keypoint_list=[25, 26, 27], pelvis_ind=39)
@@ -101,6 +132,30 @@ class TestEvalCli:
         assert os.path.exists(results)
         with open(results) as f:
             rows = list(csv.DictReader(f))
+        names = {r["metric_name"] for r in rows}
+        assert names == {"mode_mpjpe", "mode_re", "mode_pve"}
+        for r in rows:
+            assert np.isfinite(float(r["metric_value"]))
+
+    def test_tiny_end_to_end_emdb(self, tmp_path):
+        """EMDB-layout npz through the production eval path: concatenated
+        keypoint loading, gendered GT vertices, mid-hip/J24 protocol
+        (VERDICT r3 #5)."""
+        _make_synthetic_emdb_dataset(str(tmp_path))
+        from cli.eval import main
+
+        results = str(tmp_path / "results.csv")
+        main([
+            "--dataset", "EMDB",
+            "--dataset-dir", str(tmp_path),
+            "--results-file", results,
+            "--batch-size", "3",
+            "--tiny",
+            "--num-workers", "2",
+        ])
+        with open(results) as f:
+            rows = list(csv.DictReader(f))
+        assert {r["dataset"] for r in rows} == {"EMDB"}
         names = {r["metric_name"] for r in rows}
         assert names == {"mode_mpjpe", "mode_re", "mode_pve"}
         for r in rows:

@@ -61,13 +61,25 @@ def _run_two_process(out, env):
 def test_two_process_train_smoke(tmp_path):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
-    # the gloo rendezvous between two CPU-bound processes can time out on
-    # a loaded 1-core host (observed flaking mid-suite, passing alone) —
-    # retry once with a fresh port and output dir before failing
-    for attempt in range(2):
+    # On a loaded 1-core host (the full suite) a peer can be starved off
+    # the CPU for minutes: widen the rendezvous AND heartbeat budgets so
+    # the coordinator doesn't misread CPU starvation as a dead process
+    # (flaked mid-suite in r3 with the default 100 s heartbeat, passed
+    # alone in 134 s).
+    env["THMR_DIST_INIT_TIMEOUT"] = "600"
+    env["THMR_DIST_HEARTBEAT_TIMEOUT"] = "600"
+    # retry with a fresh port and output dir before failing; a hung
+    # attempt (TimeoutExpired) is retried too, not propagated
+    attempts = 3
+    for attempt in range(attempts):
         out = tmp_path / f"mh{attempt}"
-        procs, outs = _run_two_process(out, env)
-        if all(p.returncode == 0 for p in procs) or attempt == 1:
+        try:
+            procs, outs = _run_two_process(out, env)
+        except subprocess.TimeoutExpired:
+            if attempt == attempts - 1:
+                raise
+            continue
+        if all(p.returncode == 0 for p in procs) or attempt == attempts - 1:
             break
     for pid, (p, o) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{o[-4000:]}"

@@ -116,6 +116,13 @@ def main():
             cfg, vit=dataclasses.replace(
                 cfg.vit, merge_schedule=sched,
                 merge_metric=os.environ.get("BENCH_MERGE_METRIC", "keys")))
+    unroll = int(os.environ.get("BENCH_SCAN_UNROLL", "1"))
+    if unroll != 1:
+        # unroll the block scan to amortize the (B, S, C) carry
+        # double-buffer copy (~2.5 ms/step at B=128, docs/PERF_NOTES.md)
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, vit=dataclasses.replace(cfg.vit, scan_unroll=unroll))
     attn = os.environ.get("BENCH_ATTN", "")
     if attn:
         # A/B the attention implementation (auto|pallas|xla); with token

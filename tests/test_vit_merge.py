@@ -92,3 +92,23 @@ def test_merge_metric_x_vs_keys_both_run(tiny_vit):
         outs[metric] = np.asarray(out)
     # with random weights the two metrics should pick different pairs
     assert not np.allclose(outs["keys"], outs["x"])
+
+
+def test_scan_unroll_bit_exact(tiny_vit):
+    """scan_unroll only changes loop scheduling (carry double-buffer
+    amortization, docs/PERF_NOTES.md) — outputs must be bit-identical in
+    both the plain and the merged forward."""
+    params, x = tiny_vit
+    for unroll in (2, 4):
+        c_u = dataclasses.replace(TINY, scan_unroll=unroll)
+        ref = ViT(TINY).apply({"params": params}, x)
+        out = ViT(c_u).apply({"params": params}, x)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+    sched = ((2, 4),)
+    c1 = dataclasses.replace(TINY, merge_schedule=sched)
+    c2 = dataclasses.replace(TINY, merge_schedule=sched, scan_unroll=2)
+    m1, s1 = vit_apply(c1, {"params": params}, x)
+    m2, s2 = vit_apply(c2, {"params": params}, x)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))

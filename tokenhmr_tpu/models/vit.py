@@ -45,6 +45,12 @@ class ViTConfig:
     attn_impl: str = "auto"                  # auto | pallas | xla
     remat: bool = False                      # jax.checkpoint each block
     scan_blocks: bool = True                 # lax.scan over the 32 blocks
+    # scan unroll factor (1 = rolled loop).  The rolled loop double-buffers
+    # the (B, S, C) carry — a measured ~2.5 ms/step copy tax at B=128
+    # (docs/PERF_NOTES.md); unrolling N iterations amortizes it N-fold at
+    # the cost of an N-times-larger loop body to compile.  True = full
+    # unroll (inference: kills the carry copy entirely).
+    scan_unroll: int = 1
     ln_dtype: jnp.dtype = jnp.float32        # LayerNorm compute dtype
     # tanh-approx GELU: the exact erf lowers to a ~300-op f32 polynomial on
     # the (B,S,5120) MLP hidden (measured ~2x MLP-fusion bloat on v5e);
@@ -542,6 +548,7 @@ class ViT(nn.Module):
                 split_rngs={"params": True, "drop_path": True},
                 in_axes=0,
                 length=c.depth,
+                unroll=c.scan_unroll,
             )
             x, _ = scan(c, deterministic=not train, name="blocks")(
                 x, jnp.asarray(dpr, jnp.float32)
@@ -666,7 +673,7 @@ def _vit_forward_merged(cfg: ViTConfig, variables, x):
             return y, None
 
         xs = (seg_p, seg_q) if seg_q is not None else (seg_p,)
-        x, _ = jax.lax.scan(body, x, xs)
+        x, _ = jax.lax.scan(body, x, xs, unroll=c.scan_unroll)
 
     ln = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="last_norm")
     x = ln.apply({"params": params["last_norm"]}, x)

@@ -318,3 +318,30 @@ class TestRealPhotoEvalMatching:
         # box claims GT only if it overlaps >= 0.1
         assert rpe.iou_xyxy([0, 0, 4, 4], [0, 0, 10, 10]) == pytest.approx(
             16 / 100)
+
+
+class TestRealPhotoRigViews:
+    def test_all_views_load_with_valid_gt(self):
+        """Every rig view loads (or is skipped cleanly) and its GT boxes
+        are well-formed and inside the view (VERDICT r3 #4: n=7 rig)."""
+        import scripts.real_photo_eval as rpe
+
+        n_people = 0
+        n_views = 0
+        for name in rpe.ITEMS:
+            loaded = rpe.load_view(name)
+            if loaded is None:   # source absent in this environment
+                continue
+            img, gt = loaded
+            H, W = img.shape[:2]
+            n_views += 1
+            for x0, y0, x1, y1 in gt:
+                assert 0 <= x0 < x1 <= W and 0 <= y0 < y1 <= H, (name, gt)
+                assert (x1 - x0) * (y1 - y0) >= 30 * 30, (name, "degenerate")
+                n_people += 1
+        # the 3 matplotlib/reference sources in this container give 6
+        # views / 7 people; allow partial environments but require growth
+        # beyond the r3 n=3 whenever the reference demo images exist
+        import os
+        if os.path.isdir(rpe.REF_IMAGES):
+            assert n_people >= 6 and n_views >= 5

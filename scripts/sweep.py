@@ -68,6 +68,24 @@ VARIANTS = [
     ("sched-early", "2:80,8:48,14:24,18:16,24:8", {}),
     ("sched-early+fusedproj", "2:80,8:48,14:24,18:16,24:8",
      {"THMR_FUSED_PROJ": "1"}),
+    ("sched-early+hoistauto", "2:80,8:48,14:24,18:16,24:8",
+     {"THMR_ATTN_HOIST": "auto"}),
+    # scan unroll: amortizes the (B,S,C) carry double-buffer copy
+    # (~2.5 ms/step at B=128); cfg patch, not env (vit.scan_unroll)
+    ("sched-early+unroll8", "2:80,8:48,14:24,18:16,24:8", {},
+     {"scan_unroll": 8}),
+    ("sched-early+hoistauto+unroll8", "2:80,8:48,14:24,18:16,24:8",
+     {"THMR_ATTN_HOIST": "auto"}, {"scan_unroll": 8}),
+    ("sched-max+unroll8", "4:80,10:48,16:24,20:16,26:8", {},
+     {"scan_unroll": 8}),
+    # exact-graph tail (VERDICT r3 #7): unroll + int8 decoder kv
+    # projections, measured WITHOUT merging (head-quant was only ever
+    # measured under merging, where it lost)
+    ("sched-off+unroll4", "", {}, {"scan_unroll": 4}),
+    ("sched-off+unroll8", "", {}, {"scan_unroll": 8}),
+    ("sched-off+headquant", "", {}, {"head_quant": "int8"}),
+    ("sched-off+headquant+unroll8", "", {},
+     {"scan_unroll": 8, "head_quant": "int8"}),
 ]
 
 
@@ -150,14 +168,21 @@ def main():
 
     out_f = open(args.out, "a")
     only = set(args.only.split(",")) if args.only else None
-    for label, sched, env in VARIANTS:
+    for variant in VARIANTS:
+        label, sched, env = variant[:3]
+        patch = variant[3] if len(variant) > 3 else {}
         if only and label not in only:
             continue
         for k in ("THMR_ATTN_HOIST", "THMR_FUSED_MLP", "THMR_FUSED_PROJ"):
             os.environ.pop(k, None)
         os.environ.update(env)
         c = dc.replace(base, vit=dc.replace(
-            base.vit, merge_schedule=parse_sched(sched)))
+            base.vit, merge_schedule=parse_sched(sched),
+            scan_unroll=patch.get("scan_unroll", 1)))
+        if patch.get("head_quant"):
+            c = dc.replace(c, head=dc.replace(
+                c.head, decoder=dc.replace(c.head.decoder,
+                                           quant=patch["head_quant"])))
 
         # static quant calibration (mirrors bench.py BENCH_STATIC_QUANT=1)
         ccfg = dc.replace(c.vit, quant="calib")
@@ -196,7 +221,7 @@ def main():
         rec = {"label": label,
                "crops_per_sec": round(args.batch * args.iters / dt, 2),
                "delta_mm": round(delta_mm, 3),
-               "merge": sched or "off", "env": env,
+               "merge": sched or "off", "env": env, "patch": patch,
                "weights": "trained-synth" if trained else "random"}
         print(json.dumps(rec))
         out_f.write(json.dumps(rec) + "\n")

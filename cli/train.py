@@ -158,6 +158,13 @@ def main(argv=None):
                    help="CE weight on token logits vs frozen-encoder gt "
                         "tokens (the PCT recipe; gt tokens derived on "
                         "device inside the step)")
+    p.add_argument("--token-loss-objective", default="logp",
+                   choices=["logp", "parity"],
+                   help="logp = standard CE on the classifier logits "
+                        "(log of the softmax simplex); parity = the "
+                        "reference's double-softmax TokenLoss quirk "
+                        "(dead code there; near-zero gradient — see "
+                        "train/losses.py:token_loss)")
     p.add_argument("--loose-sup", action="store_true", default=True)
     p.add_argument("--no-loose-sup", dest="loose_sup", action="store_false")
     p.add_argument("--checkpoint-steps", type=int, default=2000)
@@ -374,6 +381,7 @@ def main(argv=None):
                 loose_sup=args.loose_sup,
                 token_loss_weight=args.token_loss_weight,
                 compute_gt_tokens=args.token_loss_weight > 0,
+                token_loss_objective=args.token_loss_objective,
             ), donate_argnums=(0, 1))
 
         # --- data --------------------------------------------------------

@@ -859,3 +859,37 @@ class TestScanBlockFusedDispatch:
         params = blk.init(jax.random.PRNGKey(0), x, jnp.zeros(()))
         out, _ = blk.apply(params, x, jnp.zeros(()))
         assert not called and out.shape == (2, 12, 64)
+
+
+class TestTokenLossObjectives:
+    def test_logp_equals_standard_ce_on_logits(self):
+        """-log(softmax(z)_gt) through the simplex == CE on the logits."""
+        from tokenhmr_tpu.train.losses import token_loss
+
+        rng = np.random.RandomState(0)
+        z = jnp.asarray(rng.randn(2, 5, 16).astype(np.float32))
+        gt = jnp.asarray(rng.randint(0, 16, (2, 5)))
+        p = jax.nn.softmax(z, axis=-1)
+        got = token_loss(p, gt, objective="logp")
+        want = -jnp.mean(jnp.take_along_axis(
+            jax.nn.log_softmax(z, -1), gt[..., None], -1))
+        assert abs(float(got) - float(want)) < 1e-5
+
+    def test_parity_objective_gradient_is_tiny(self):
+        """The reference's double-softmax quirk: near-uniform simplex ->
+        parity CE pinned at ln(K) with ~1e-3x the logp gradient (why the
+        r4 run's token CE sat at 7.625 until the objective switch)."""
+        from tokenhmr_tpu.train.losses import token_loss
+
+        rng = np.random.RandomState(1)
+        z = jnp.asarray(rng.randn(2, 5, 64).astype(np.float32) * 0.1)
+        gt = jnp.asarray(rng.randint(0, 64, (2, 5)))
+
+        def f(obj):
+            return lambda zz: token_loss(
+                jax.nn.softmax(zz, -1), gt, objective=obj)
+
+        g_par = jnp.linalg.norm(jax.grad(f("parity"))(z))
+        g_std = jnp.linalg.norm(jax.grad(f("logp"))(z))
+        assert float(f("parity")(z)) == pytest.approx(np.log(64), abs=1e-2)
+        assert float(g_par) < 0.05 * float(g_std)

@@ -81,14 +81,31 @@ def vertices_loss(pred_vertices, gt_vertices, loss_type: str = "l1"):
     return jnp.mean(_elementwise(loss_type, pred_vertices, gt_vertices))
 
 
-def token_loss(cls_logits_softmax, gt_tokens, sample_weights=None):
-    """CE over token classes. NOTE the reference applies CrossEntropyLoss to
-    ALREADY-SOFTMAXED outputs (ref losses.py:230-252) — i.e. log_softmax of a
-    simplex; we reproduce that exact objective for parity.
+def token_loss(cls_logits_softmax, gt_tokens, sample_weights=None,
+               objective="logp"):
+    """CE over token classes.
     pred (B, T, K) simplex, gt (B, T) int, sample_weights optional (B,)
-    (masks samples whose gt pose — and hence gt tokens — is absent)."""
+    (masks samples whose gt pose — and hence gt tokens — is absent).
+
+    objective="parity": the reference applies CrossEntropyLoss to
+    ALREADY-SOFTMAXED outputs (ref losses.py:230-252) — log_softmax of a
+    simplex.  That double softmax is (untested) dead code in the
+    reference (TokenLoss is instantiated, never called in compute_loss)
+    and its gradient is vanishingly small: simplex entries live in
+    [0, 1], so the second softmax is near-uniform — a PERFECT classifier
+    only reaches CE ~= ln(K) - 1, and at init the signal is ~1e-3 of a
+    standard CE (measured flat at ln(2048) for 3k steps, round 4).
+
+    objective="logp" (default for training): standard cross-entropy.
+    Since the simplex IS softmax(logits), -log(p_gt) == the usual
+    CrossEntropyLoss on the original logits (log o softmax = log_softmax
+    composed once), i.e. what the PCT recipe the reference follows
+    actually optimizes."""
     B, T, K = cls_logits_softmax.shape
-    logp = jax.nn.log_softmax(cls_logits_softmax, axis=-1)
+    if objective == "parity":
+        logp = jax.nn.log_softmax(cls_logits_softmax, axis=-1)
+    else:
+        logp = jnp.log(jnp.maximum(cls_logits_softmax, 1e-9))
     picked = jnp.take_along_axis(logp, gt_tokens[..., None], axis=-1)[..., 0]
     per_sample = -jnp.mean(picked, axis=-1)              # (B,)
     if sample_weights is None:

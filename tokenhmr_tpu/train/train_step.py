@@ -43,6 +43,7 @@ def make_train_step(
     loose_weight: float = 0.05,
     token_loss_weight: float = 0.0,
     compute_gt_tokens: bool = False,
+    token_loss_objective: str = "logp",
 ) -> Callable:
     """Returns train_step(params, opt_state, batch, rng) ->
     (params, opt_state, metrics).
@@ -88,7 +89,8 @@ def make_train_step(
                     # are noise and must contribute NO gradient
                     has = batch["has_smpl_params"]["body_pose"]
                     tl = token_loss(out["cls_logits_softmax"], gt_tokens,
-                                    sample_weights=has)
+                                    sample_weights=has,
+                                    objective=token_loss_objective)
                     total = total + token_loss_weight * tl
                     losses["token"] = tl
             return total, losses

@@ -1,0 +1,123 @@
+#!/bin/bash
+# Round-4 post-training TPU pipeline (VERDICT r3 #1/#3/#4/#5/#7).
+#
+# Runs unattended after the flagship two-stage run finishes: the round has
+# already lost three sessions to transient API errors, so everything that
+# only needs the chip (not a judgment call) is mechanized here.  Stages:
+#
+#   1. wait for cli/train.py (pid in /tmp/train_r4.pid) to exit and for
+#      artifacts_synth/flagship_r4.npz to appear
+#   2. point bench.py's default weights at the new export (symlink)
+#   3. regenerate docs/ACC_TABLE.md from the SHIPPED export (provenance ==
+#      shipped npz — the committed command the judge can replay)
+#   4. synthetic eval datasets (3dpw + emdb layouts) -> cli/eval.py on both,
+#      one CSV from the production eval path
+#   5. detector SMPL-mix retrain, warm-started from the r3 weights
+#   6. exact-graph sweep variants (unroll / head-quant) if time remains
+#
+# Each stage appends to /tmp/round4_post.log and drops a stamp file in
+# /tmp/r4_stage_N.done so a reattaching session can see where it is.
+set -u
+cd /root/repo
+LOG=/tmp/round4_post.log
+exec >>"$LOG" 2>&1
+echo "=== round4_post start $(date -u +%H:%M:%S) ==="
+
+DETECTOR_STEPS="${DETECTOR_STEPS:-8000}"
+DEADLINE_EPOCH="${DEADLINE_EPOCH:-$(date -d '18:05' +%s)}"
+
+left() { echo $(( (DEADLINE_EPOCH - $(date +%s)) / 60 )); }
+
+# --- stage 1: wait for the flagship run --------------------------------
+if [ ! -f /tmp/r4_stage_1.done ]; then
+  PID=$(cat /tmp/train_r4.pid 2>/dev/null || echo 0)
+  while kill -0 "$PID" 2>/dev/null; do
+    # hard stop: leave >=115 min for acc_table+evals+detector+bench.
+    # SIGTERM -> checkpoint + export_params, then clean exit.
+    if [ "$(left)" -lt 115 ]; then
+      echo "deadline pressure ($(left) min left): SIGTERM flagship run"
+      kill "$PID"
+    fi
+    sleep 60
+  done
+  for i in $(seq 60); do
+    [ -f artifacts_synth/flagship_r4.npz ] && break; sleep 10
+  done
+  if [ ! -f artifacts_synth/flagship_r4.npz ]; then
+    echo "FATAL: flagship_r4.npz never appeared; falling back to export_params"
+    python scripts/export_params.py --run-dir artifacts_synth/run_r4 \
+        --tokenizer-run-dir artifacts_synth/tok_r4 \
+        --out artifacts_synth/flagship_r4.npz || exit 1
+  fi
+  touch /tmp/r4_stage_1.done
+  echo "stage 1 done $(date -u +%H:%M:%S): flagship export present"
+fi
+
+# --- stage 2: bench default weights ------------------------------------
+ln -sf flagship_r4.npz artifacts_synth/flagship_final.npz
+touch /tmp/r4_stage_2.done
+
+# --- stage 3: trained-weight operating-point table ----------------------
+if [ ! -f /tmp/r4_stage_3.done ]; then
+  echo "stage 3: acc_table $(date -u +%H:%M:%S)"
+  timeout 2400 python scripts/acc_table.py \
+      --ckpt artifacts_synth/flagship_r4.npz --n 512 --batch 64 \
+      && touch /tmp/r4_stage_3.done
+  echo "stage 3 exit=$? $(date -u +%H:%M:%S)"
+fi
+
+# --- stage 4: production-path eval CSV (3dpw + emdb layouts) ------------
+if [ ! -f /tmp/r4_stage_4.done ]; then
+  echo "stage 4: eval datasets + cli/eval.py $(date -u +%H:%M:%S)"
+  if [ ! -d artifacts_synth/eval_r4/EMDB ]; then
+    timeout 1200 python scripts/make_synth_eval.py \
+        --out artifacts_synth/eval_r4 --n 256 --layout both --seed 777
+  fi
+  timeout 2400 python -m cli.eval --dataset 3DPW-TEST,EMDB \
+      --dataset-dir artifacts_synth/eval_r4 \
+      --params-npz artifacts_synth/flagship_r4.npz \
+      --results-file artifacts_synth/eval_r4/results_r4.csv \
+      --exp-name flagship_r4 --batch-size 64 \
+      && touch /tmp/r4_stage_4.done
+  echo "stage 4 exit=$? $(date -u +%H:%M:%S)"
+fi
+
+# --- stage 5: detector SMPL-mix retrain ---------------------------------
+if [ ! -f /tmp/r4_stage_5.done ]; then
+  if [ "$(left)" -lt 55 ]; then
+    # not enough chip left for a useful retrain; skip rather than ship a
+    # half-cooked checkpoint over the r3 one
+    echo "stage 5 SKIPPED: only $(left) min left"
+  else
+    [ "$(left)" -lt 90 ] && DETECTOR_STEPS=5000
+    echo "stage 5: detector retrain ($DETECTOR_STEPS steps) $(date -u +%H:%M:%S)"
+    timeout 7200 python -m cli.train_detector \
+        --steps "$DETECTOR_STEPS" --cache 4096 --smpl-frac 0.5 \
+        --wh-log --p32 --eval-steps 500 \
+        --init-from artifacts_det/person_detector_synth_r3.npz \
+        --out artifacts_det/person_detector_r4.npz \
+        && touch /tmp/r4_stage_5.done
+    echo "stage 5 exit=$? $(date -u +%H:%M:%S)"
+    if [ -f artifacts_det/person_detector_r4.npz ]; then
+      timeout 900 python scripts/real_photo_eval.py \
+          --ckpt artifacts_det/person_detector_r4.npz --tiles --sweep \
+          | tee /tmp/r4_det_sweep.txt
+    fi
+  fi
+fi
+
+# --- stage 6: bench + exact-graph sweep if time remains ------------------
+if [ ! -f /tmp/r4_stage_6.done ]; then
+  echo "stage 6: bench $(date -u +%H:%M:%S)"
+  timeout 1200 python bench.py > /tmp/r4_bench_default.json
+  BENCH_MERGE="2:80,8:48,14:24,18:16,24:8" timeout 1200 python bench.py \
+      > /tmp/r4_bench_early.json
+  touch /tmp/r4_stage_6.done
+fi
+if [ ! -f /tmp/r4_stage_7.done ] && [ "$(left)" -gt 35 ]; then
+  echo "stage 7: exact-graph sweep $(date -u +%H:%M:%S)"
+  timeout 2400 python scripts/sweep.py \
+      --only "sched-off,sched-off+unroll4,sched-off+unroll8,sched-off+headquant,sched-off+headquant+unroll8,sched-early+unroll8,sched-early+hoistauto+unroll8" \
+      | tee /tmp/r4_sweep_exact.txt && touch /tmp/r4_stage_7.done
+fi
+echo "=== round4_post end $(date -u +%H:%M:%S) ==="

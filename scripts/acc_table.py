@@ -247,7 +247,7 @@ def main():
         "understate the cost on a fully-trained model; they are still "
         "measured-on-trained-weights evidence, and task metrics move "
         "well under eval noise at every point.  Reproduce: "
-        "`python scripts/acc_table.py --n 512 --batch 64`.",
+        f"`python scripts/acc_table.py {' '.join(sys.argv[1:])}`.",
     ]
     table = "\n".join(lines) + "\n"
     print(table)

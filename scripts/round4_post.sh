@@ -24,7 +24,7 @@ exec >>"$LOG" 2>&1
 echo "=== round4_post start $(date -u +%H:%M:%S) ==="
 
 DETECTOR_STEPS="${DETECTOR_STEPS:-8000}"
-DEADLINE_EPOCH="${DEADLINE_EPOCH:-$(date -d '18:05' +%s)}"
+DEADLINE_EPOCH="${DEADLINE_EPOCH:-$(date -d '09:15' +%s)}"
 
 left() { echo $(( (DEADLINE_EPOCH - $(date +%s)) / 60 )); }
 
@@ -45,10 +45,17 @@ if [ ! -f /tmp/r4_stage_1.done ]; then
   done
   if [ ! -f artifacts_synth/flagship_r4.npz ]; then
     echo "FATAL: flagship_r4.npz never appeared; falling back to export_params"
-    python scripts/export_params.py --run-dir artifacts_synth/run_r4 \
+    python scripts/export_params.py --run-dir artifacts_synth/run_r4b \
         --tokenizer-run-dir artifacts_synth/tok_r4 \
         --out artifacts_synth/flagship_r4.npz || exit 1
   fi
+  # let the checkpoint watchdog finish its final commit before we touch git
+  while kill -0 "$(cat /tmp/watchdog.pid 2>/dev/null || echo 0)" 2>/dev/null; do
+    sleep 10
+  done
+  git add -f artifacts_synth/run_r4b/metrics.jsonl \
+      artifacts_synth/run_r4b/*.json artifacts_synth/run_r4b/*.txt
+  git commit -q -m "Flagship r4b run metadata (full 15k-step metrics)" || true
   touch /tmp/r4_stage_1.done
   echo "stage 1 done $(date -u +%H:%M:%S): flagship export present"
 fi
@@ -64,6 +71,8 @@ if [ ! -f /tmp/r4_stage_3.done ]; then
       --ckpt artifacts_synth/flagship_r4.npz --n 512 --batch 64 \
       && touch /tmp/r4_stage_3.done
   echo "stage 3 exit=$? $(date -u +%H:%M:%S)"
+  git add docs/ACC_TABLE.md && git commit -q -m \
+      "Regenerate ACC_TABLE from the shipped r4b flagship export" || true
 fi
 
 # --- stage 4: production-path eval CSV (3dpw + emdb layouts) ------------
@@ -80,6 +89,8 @@ if [ ! -f /tmp/r4_stage_4.done ]; then
       --exp-name flagship_r4 --batch-size 64 \
       && touch /tmp/r4_stage_4.done
   echo "stage 4 exit=$? $(date -u +%H:%M:%S)"
+  git add -f artifacts_synth/eval_r4/results_r4.csv && git commit -q -m \
+      "Production-path eval CSV: 3DPW + EMDB layouts on the r4b flagship" || true
 fi
 
 # --- stage 5: detector SMPL-mix retrain ---------------------------------
@@ -102,6 +113,8 @@ if [ ! -f /tmp/r4_stage_5.done ]; then
       timeout 900 python scripts/real_photo_eval.py \
           --ckpt artifacts_det/person_detector_r4.npz --tiles --sweep \
           | tee /tmp/r4_det_sweep.txt
+      git add artifacts_det/person_detector_r4.npz && git commit -q -m \
+          "Detector r4: SMPL-scene-mix retrain (warm-started from r3)" || true
     fi
   fi
 fi

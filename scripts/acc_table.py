@@ -175,10 +175,21 @@ def main():
     import json
     cache_path = f"/tmp/acc_rows_{args.n}.json"
     verts_path = f"/tmp/acc_refverts_{args.n}.npy"
+    # cached rows are only valid for the exact ckpt they were measured on:
+    # a reset + re-export between runs would otherwise silently mix rows
+    # from different weights into one table
+    st = os.stat(args.ckpt)
+    ckpt_sig = f"{os.path.abspath(args.ckpt)}:{st.st_size}:{int(st.st_mtime)}"
     done = {}
     if os.path.exists(cache_path):
         done = json.load(open(cache_path))
-        print(f"resume: {len(done)} cached rows", file=sys.stderr)
+        if done.get("__ckpt_sig__") != ckpt_sig:
+            print(f"cache is for a different ckpt "
+                  f"({done.get('__ckpt_sig__')}); discarding", file=sys.stderr)
+            done = {}
+        else:
+            print(f"resume: {len(done) - 1} cached rows", file=sys.stderr)
+    done["__ckpt_sig__"] = ckpt_sig
 
     def record(key, name, metric, m, d):
         done[key] = [name, metric, m, d]

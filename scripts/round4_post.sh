@@ -23,8 +23,8 @@ LOG=/tmp/round4_post.log
 exec >>"$LOG" 2>&1
 echo "=== round4_post start $(date -u +%H:%M:%S) ==="
 
-DETECTOR_STEPS="${DETECTOR_STEPS:-8000}"
-DEADLINE_EPOCH="${DEADLINE_EPOCH:-$(date -d '09:15' +%s)}"
+DETECTOR_STEPS="${DETECTOR_STEPS:-5000}"
+DEADLINE_EPOCH="${DEADLINE_EPOCH:-$(date -d '08:45' +%s)}"
 
 left() { echo $(( (DEADLINE_EPOCH - $(date +%s)) / 60 )); }
 
@@ -32,9 +32,12 @@ left() { echo $(( (DEADLINE_EPOCH - $(date +%s)) / 60 )); }
 if [ ! -f /tmp/r4_stage_1.done ]; then
   PID=$(cat /tmp/train_r4.pid 2>/dev/null || echo 0)
   while kill -0 "$PID" 2>/dev/null; do
-    # hard stop: leave >=115 min for acc_table+evals+detector+bench.
+    # hard stop: leave >=160 min for acc_table+evals+detector+bench
+    # (measured r4b step rate is ~0.7 steps/s, not the budgeted 1.2 —
+    # the 15k run cannot finish inside the round, and LR is constant so
+    # a preempted step-10k model is an equally valid operating point).
     # SIGTERM -> checkpoint + export_params, then clean exit.
-    if [ "$(left)" -lt 115 ]; then
+    if [ "$(left)" -lt 160 ]; then
       echo "deadline pressure ($(left) min left): SIGTERM flagship run"
       kill "$PID"
     fi
@@ -62,6 +65,10 @@ fi
 
 # --- stage 2: bench default weights ------------------------------------
 ln -sf flagship_r4.npz artifacts_synth/flagship_final.npz
+# the export is the shipped accuracy evidence: it must survive a reset
+# (git is the only durable store here), not just the orbax ckpt
+git add -f artifacts_synth/flagship_r4.npz artifacts_synth/flagship_final.npz \
+  && git commit -q -m "Ship the r4b flagship export (bench/acc-table weights)" || true
 touch /tmp/r4_stage_2.done
 
 # --- stage 3: trained-weight operating-point table ----------------------
@@ -71,8 +78,11 @@ if [ ! -f /tmp/r4_stage_3.done ]; then
       --ckpt artifacts_synth/flagship_r4.npz --n 512 --batch 64 \
       && touch /tmp/r4_stage_3.done
   echo "stage 3 exit=$? $(date -u +%H:%M:%S)"
-  git add docs/ACC_TABLE.md && git commit -q -m \
-      "Regenerate ACC_TABLE from the shipped r4b flagship export" || true
+  # VERDICT r3 #3: flip bench.py's default to the 2576-crops/s early-merge
+  # schedule iff the regenerated table says its PVE tracks the 5-site row
+  [ -f /tmp/r4_stage_3.done ] && python scripts/pick_bench_default.py
+  git add docs/ACC_TABLE.md bench.py && git commit -q -m \
+      "Regenerate ACC_TABLE from the shipped r4b flagship export; gate bench default on it" || true
 fi
 
 # --- stage 4: production-path eval CSV (3dpw + emdb layouts) ------------
@@ -120,7 +130,7 @@ if [ ! -f /tmp/r4_stage_5.done ]; then
 fi
 
 # --- stage 6: bench + exact-graph sweep if time remains ------------------
-if [ ! -f /tmp/r4_stage_6.done ]; then
+if [ ! -f /tmp/r4_stage_6.done ] && [ "$(left)" -gt 25 ]; then
   echo "stage 6: bench $(date -u +%H:%M:%S)"
   timeout 1200 python bench.py > /tmp/r4_bench_default.json
   BENCH_MERGE="2:80,8:48,14:24,18:16,24:8" timeout 1200 python bench.py \

@@ -71,6 +71,28 @@ git add -f artifacts_synth/flagship_r4.npz artifacts_synth/flagship_final.npz \
   && git commit -q -m "Ship the r4b flagship export (bench/acc-table weights)" || true
 touch /tmp/r4_stage_2.done
 
+# --- stage 3b: full test suite on CPU while the chip runs acc_table/eval --
+# VERDICT r3 weak-3 "Done = full suite green in ONE run on this 1-core
+# host" — the trainer no longer owns the CPU once stage 1 passes, and the
+# suite is CPU-only (conftest forces the virtual 8-device CPU mesh).
+if [ ! -f /tmp/r4_stage_3b.done ] && [ ! -f /tmp/r4_stage_3b.started ]; then
+  touch /tmp/r4_stage_3b.started
+  ( JAX_PLATFORMS=cpu nice -n 5 timeout 3600 python -m pytest tests/ -q \
+      > /tmp/r4_suite.log 2>&1
+    tail -3 /tmp/r4_suite.log
+    { echo "# Round-4 full-suite run (single invocation, 1-core host)"
+      echo
+      echo "Command: JAX_PLATFORMS=cpu python -m pytest tests/ -q"
+      echo "Date: $(date -u +%F' '%T) UTC"
+      echo '```'
+      tail -5 /tmp/r4_suite.log
+      echo '```'
+    } > docs/TESTS_r4.md
+    git add docs/TESTS_r4.md
+    git commit -q -m "Full-suite evidence: one pytest invocation on the 1-core host"
+    touch /tmp/r4_stage_3b.done ) &
+fi
+
 # --- stage 3: trained-weight operating-point table ----------------------
 if [ ! -f /tmp/r4_stage_3.done ]; then
   echo "stage 3: acc_table $(date -u +%H:%M:%S)"
@@ -80,7 +102,9 @@ if [ ! -f /tmp/r4_stage_3.done ]; then
   echo "stage 3 exit=$? $(date -u +%H:%M:%S)"
   # VERDICT r3 #3: flip bench.py's default to the 2576-crops/s early-merge
   # schedule iff the regenerated table says its PVE tracks the 5-site row
-  [ -f /tmp/r4_stage_3.done ] && python scripts/pick_bench_default.py
+  if [ -f /tmp/r4_stage_3.done ]; then
+    python scripts/pick_bench_default.py && python -m py_compile bench.py
+  fi
   git add docs/ACC_TABLE.md bench.py && git commit -q -m \
       "Regenerate ACC_TABLE from the shipped r4b flagship export; gate bench default on it" || true
 fi
@@ -129,12 +153,11 @@ if [ ! -f /tmp/r4_stage_5.done ]; then
   fi
 fi
 
-# --- stage 6: bench + exact-graph sweep if time remains ------------------
+# --- stage 6: bench preview (the driver runs the official one at round end)
 if [ ! -f /tmp/r4_stage_6.done ] && [ "$(left)" -gt 25 ]; then
   echo "stage 6: bench $(date -u +%H:%M:%S)"
   timeout 1200 python bench.py > /tmp/r4_bench_default.json
-  BENCH_MERGE="2:80,8:48,14:24,18:16,24:8" timeout 1200 python bench.py \
-      > /tmp/r4_bench_early.json
+  tail -1 /tmp/r4_bench_default.json
   touch /tmp/r4_stage_6.done
 fi
 if [ ! -f /tmp/r4_stage_7.done ] && [ "$(left)" -gt 35 ]; then

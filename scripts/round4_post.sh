@@ -30,8 +30,10 @@ left() { echo $(( (DEADLINE_EPOCH - $(date +%s)) / 60 )); }
 
 # --- stage 1: wait for the flagship run --------------------------------
 if [ ! -f /tmp/r4_stage_1.done ]; then
-  PID=$(cat /tmp/train_r4.pid 2>/dev/null || echo 0)
-  while kill -0 "$PID" 2>/dev/null; do
+  # re-read the pidfile every lap: tpu_recover.sh may relaunch the
+  # trainer under a new pid after a TPU-backend outage
+  while PID=$(cat /tmp/train_r4.pid 2>/dev/null || echo 0); \
+        kill -0 "$PID" 2>/dev/null; do
     # hard stop: leave >=160 min for acc_table+evals+detector+bench
     # (measured r4b step rate is ~0.7 steps/s, not the budgeted 1.2 —
     # the 15k run cannot finish inside the round, and LR is constant so
@@ -39,10 +41,21 @@ if [ ! -f /tmp/r4_stage_1.done ]; then
     # SIGTERM -> checkpoint + export_params, then clean exit.
     if [ "$(left)" -lt 160 ]; then
       echo "deadline pressure ($(left) min left): SIGTERM flagship run"
+      # tell tpu_recover.sh the coming stale-metrics window is the
+      # save+export path, not a hang
+      touch /tmp/train_sigterm.sent
       kill "$PID"
     fi
     sleep 60
   done
+  # settle: tpu_recover.sh SIGKILL->relaunch leaves a short dead-pid
+  # window; only proceed if the trainer is still gone 90 s later
+  sleep 90
+  if PID=$(cat /tmp/train_r4.pid 2>/dev/null || echo 0); \
+     kill -0 "$PID" 2>/dev/null; then
+    echo "trainer was relaunched mid-wait; re-entering wait loop"
+    exec "$0"
+  fi
   for i in $(seq 60); do
     [ -f artifacts_synth/flagship_r4.npz ] && break; sleep 10
   done

@@ -211,6 +211,28 @@ def main(argv=None):
                    help="virtual CPU device count per process (testing)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     args = p.parse_args(argv)
+    # Init heartbeat: device-client creation + checkpoint restore + first
+    # compile can be silent for 10+ min over the remote-TPU tunnel, which
+    # external liveness watchdogs (scripts/tpu_recover.sh) would misread
+    # as a wedged process.  Print a line every 2 min until the train loop
+    # takes over; the loop's step prints are the steady-state heartbeat.
+    import threading
+    _hb_stop = threading.Event()
+
+    def _hb(t0=time.time()):
+        # TTL-bounded: a heartbeat that outlives any legitimate init
+        # (measured ~8 min; budget 24) would mask a main thread wedged in
+        # a PJRT call — going silent lets the watchdog's staleness check
+        # see the wedge and recover.
+        for _ in range(12):
+            if _hb_stop.wait(120):
+                return
+            print(f"[init-heartbeat] alive, {int(time.time() - t0)}s since "
+                  f"launch (init)", flush=True)
+        print("[init-heartbeat] TTL exhausted; going silent so liveness "
+              "watchdogs can act", flush=True)
+
+    threading.Thread(target=_hb, daemon=True).start()
     from tokenhmr_tpu.utils.profiling import enable_compile_cache
     enable_compile_cache()
     if args.platform:
@@ -462,6 +484,7 @@ def main(argv=None):
             save_params_npz(args.export_params, trees, config=cfg)
             print(f"exported params to {args.export_params}")
 
+        _hb_stop.set()  # step prints take over as the liveness signal
         t0 = time.time()
         for step in range(start, args.total_steps):
             if synth_gen is not None:
@@ -514,8 +537,9 @@ def main(argv=None):
                 except Exception as e:
                     print(f"render failed: {e}")
 
-            if ((step + 1) % args.checkpoint_steps == 0 or stop_requested
-                    or step + 1 == args.total_steps):
+            if ((args.checkpoint_steps > 0
+                    and (step + 1) % args.checkpoint_steps == 0)
+                    or stop_requested or step + 1 == args.total_steps):
                 ckpt.save(step + 1, {"params": params, "opt_state": opt_state},
                           config=cfg)
                 if stop_requested:

@@ -149,7 +149,10 @@ if [ ! -f /tmp/r4_stage_5.done ]; then
   else
     [ "$(left)" -lt 90 ] && DETECTOR_STEPS=5000
     echo "stage 5: detector retrain ($DETECTOR_STEPS steps) $(date -u +%H:%M:%S)"
-    timeout 7200 python -m cli.train_detector \
+    # bound by the deadline, not a fixed 2h: the chip must be free for
+    # the driver's end-of-round bench.  --out keeps the best held-out-
+    # recall ckpt at every eval interval, so a timeout still ships.
+    timeout $(( ( $(left) - 25 ) * 60 )) python -m cli.train_detector \
         --steps "$DETECTOR_STEPS" --cache 4096 --smpl-frac 0.5 \
         --wh-log --p32 --eval-steps 500 \
         --init-from artifacts_det/person_detector_synth_r3.npz \

@@ -152,7 +152,11 @@ if [ ! -f /tmp/r4_stage_5.done ]; then
     # bound by the deadline, not a fixed 2h: the chip must be free for
     # the driver's end-of-round bench.  --out keeps the best held-out-
     # recall ckpt at every eval interval, so a timeout still ships.
-    timeout $(( ( $(left) - 25 ) * 60 )) python -m cli.train_detector \
+    # Cap at 45 min so the exact-graph sweep (VERDICT r3 #7 evidence)
+    # still gets a window — a 45-min best-recall ckpt beats 70 min of
+    # detector at the cost of the only exact-int8 measurement.
+    DET_BUDGET=$(( ( $(left) - 25 ) * 60 )); [ "$DET_BUDGET" -gt 2700 ] && DET_BUDGET=2700
+    timeout "$DET_BUDGET" python -m cli.train_detector \
         --steps "$DETECTOR_STEPS" --cache 4096 --smpl-frac 0.5 \
         --wh-log --p32 --eval-steps 500 \
         --init-from artifacts_det/person_detector_synth_r3.npz \
@@ -169,17 +173,21 @@ if [ ! -f /tmp/r4_stage_5.done ]; then
   fi
 fi
 
-# --- stage 6: bench preview (the driver runs the official one at round end)
+# --- stage 7 BEFORE stage 6: the sweep is the only exact-int8 evidence
+# (VERDICT r3 #7); the bench preview is redundant with the driver's
+# official end-of-round bench, so it only runs if time is truly left.
+# sweep.py prints per-variant results as they land, so even a timeout
+# leaves partial evidence in the tee'd file.
+if [ ! -f /tmp/r4_stage_7.done ] && [ "$(left)" -gt 22 ]; then
+  echo "stage 7: exact-graph sweep ($(left) min left) $(date -u +%H:%M:%S)"
+  timeout $(( ( $(left) - 12 ) * 60 )) python scripts/sweep.py \
+      --only "sched-off,sched-off+unroll8,sched-off+headquant,sched-off+headquant+unroll8,sched-early+unroll8,sched-off+unroll4,sched-early+hoistauto+unroll8" \
+      | tee /tmp/r4_sweep_exact.txt && touch /tmp/r4_stage_7.done
+fi
 if [ ! -f /tmp/r4_stage_6.done ] && [ "$(left)" -gt 25 ]; then
   echo "stage 6: bench $(date -u +%H:%M:%S)"
   timeout 1200 python bench.py > /tmp/r4_bench_default.json
   tail -1 /tmp/r4_bench_default.json
   touch /tmp/r4_stage_6.done
-fi
-if [ ! -f /tmp/r4_stage_7.done ] && [ "$(left)" -gt 35 ]; then
-  echo "stage 7: exact-graph sweep $(date -u +%H:%M:%S)"
-  timeout 2400 python scripts/sweep.py \
-      --only "sched-off,sched-off+unroll4,sched-off+unroll8,sched-off+headquant,sched-off+headquant+unroll8,sched-early+unroll8,sched-early+hoistauto+unroll8" \
-      | tee /tmp/r4_sweep_exact.txt && touch /tmp/r4_stage_7.done
 fi
 echo "=== round4_post end $(date -u +%H:%M:%S) ==="

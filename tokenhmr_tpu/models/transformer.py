@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import mha
+from ..parallel.mesh import constrain_batch
 
 
 @dataclasses.dataclass(frozen=True)
@@ -137,6 +138,7 @@ class _SelfAttention(nn.Module):
         inner = c.heads * c.dim_head
         B, N, _ = x.shape
         qkv = nn.Dense(inner * 3, use_bias=False, dtype=c.dtype, name="to_qkv")(x)
+        qkv = constrain_batch(qkv)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         shp = (B, N, c.heads, c.dim_head)
         q, k, v = (t.reshape(shp).transpose(0, 2, 1, 3) for t in (q, k, v))
@@ -162,6 +164,7 @@ class _CrossAttention(nn.Module):
         else:
             kv = nn.Dense(inner * 2, use_bias=False, dtype=c.dtype,
                           name="to_kv")(context)
+        kv = constrain_batch(kv)
         k, v = jnp.split(kv, 2, axis=-1)
         q = nn.Dense(inner, use_bias=False, dtype=c.dtype, name="to_q")(x)
         q = q.reshape(B, N, c.heads, c.dim_head).transpose(0, 2, 1, 3)

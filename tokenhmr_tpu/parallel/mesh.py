@@ -55,6 +55,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def constrain_batch(x):
+    """Pin an activation's leading dim to the batch axes, rest replicated.
+
+    Used inside model code (token-head decoder) to stop XLA's sharding
+    propagation from inventing a feature-dim sharding for the small head
+    activations: without this, the backward of the qkv split emits a
+    concatenate whose operand/result shardings disagree, and the SPMD
+    partitioner falls back to "involuntary full rematerialization"
+    (replicate-then-repartition; MULTICHIP_r04 tail).  No-op when traced
+    without an ambient mesh (single-chip bench/demo) or when the mesh
+    lacks the (data, fsdp) axes this module defines.
+    """
+    m = jax.sharding.get_abstract_mesh()
+    if m is None or getattr(m, "empty", True):
+        return x
+    axes = set(m.axis_names or ())
+    if not {"data", "fsdp"} <= axes:
+        return x
+    spec = P(("data", "fsdp"), *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
 def _param_spec(path: Tuple, leaf, mesh: Mesh, shard_params: bool) -> P:
     """Sharding rule for one parameter.
 
@@ -80,9 +102,16 @@ def _param_spec(path: Tuple, leaf, mesh: Mesh, shard_params: bool) -> P:
                 names[-1] = "model"          # column-parallel
             elif any(s in pathstr for s in ("mlp/fc2", "attn/proj")):
                 names[-2 if leaf.ndim >= 2 else -1] = "model"  # row-parallel
-    if shard_params and n_fsdp > 1 and leaf.size >= 65536:
+    pathstr = "/".join(str(getattr(p, "key", p)) for p in path)
+    if shard_params and n_fsdp > 1 and leaf.size >= 65536 \
+            and "backbone" in pathstr:
         # small tensors stay replicated: the all-gather cost of sharding
-        # them exceeds the memory saved
+        # them exceeds the memory saved.  fsdp is also restricted to the
+        # ViT backbone (~95% of params): sharding the token head's small
+        # matrices on their feature dim forces feature-dim shardings onto
+        # its tiny activation cotangents, and the SPMD partitioner can
+        # only resolve the resulting batch->feature reshard of the qkv
+        # concatenate by full rematerialization (MULTICHIP_r04 tail).
         # choose largest unsharded axis divisible by n_fsdp
         cand = sorted(
             (i for i in range(leaf.ndim)

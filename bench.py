@@ -130,7 +130,7 @@ def main():
     # 2139/5.0mm, default 2290/8.2mm.  BENCH_MERGE=off for the exact
     # reference graph; the exact-graph throughput is also printed in the
     # same run (exact_bf16_crops_per_sec) so the knob is never hidden.
-    merge = os.environ.get("BENCH_MERGE", "4:80,10:48,16:24,20:16,26:8")
+    merge = os.environ.get("BENCH_MERGE", "2:80,8:48,14:24,18:16,24:8")
     if merge.lower() in ("off", "none", "0"):
         merge = ""
     if merge:

@@ -164,7 +164,7 @@ if [ ! -f /tmp/r4_stage_5.done ]; then
     DET_BUDGET=$(( ( $(left) - 25 ) * 60 )); [ "$DET_BUDGET" -gt 2700 ] && DET_BUDGET=2700
     timeout "$DET_BUDGET" python -m cli.train_detector \
         --steps "$DETECTOR_STEPS" --cache 4096 --smpl-frac 0.5 \
-        --wh-log --p32 --eval-steps 500 \
+        --eval-steps 500 \
         --init-from artifacts_det/person_detector_synth_r3.npz \
         --out artifacts_det/person_detector_r4.npz \
         && touch /tmp/r4_stage_5.done
